@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as plan-build + execution to completion
+(``collect`` of an already-aggregated/limited result — every headline
+query reduces to a small output, so collect cost is negligible and the
+measured time is scan/shuffle/agg work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from etl_work_flow_for_big_data_spark.session import get_spark
+
+    spark = get_spark("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # warm up the JVM/codegen once on a trivial action so q1 doesn't
+    # absorb session spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        spec = registry[name]
+        t0 = time.perf_counter()
+        rows = spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

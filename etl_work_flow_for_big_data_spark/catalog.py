@@ -1,0 +1,54 @@
+"""Fixture/table catalog.
+
+The reference reads its dimension/config relations from Oracle via
+row-cursor JDBC (``MFramework.cpp:344-376``, ``:929-1022``); our data
+path is columnar parquet scans with pushdown. ``load_table`` is the
+single entry point so predicate pushdown / column pruning stay intact
+(callers ``.select``/``.filter`` on the returned DataFrame and Catalyst
+pushes it into the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Small dimensions that are always broadcast-join candidates at any
+#: scale factor (bounded cardinality: 5 regions, 25 nations; suppliers
+#: and parts grow with SF but stay dim-sized relative to the facts).
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (columnar parquet scan).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
+    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``; we
+    convert to a µs timestamp with integer division (``div`` — a
+    double-valued ``/1000`` would lose precision above 2^53 ns),
+    matching DuckDB's own ns→µs truncation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table; keys match the DuckDB oracle views."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,92 @@
+"""Join operators beyond stock equi-joins: as-of and range (tier) joins.
+
+Domain: the reference's rating binaries price each CDR against a tariff
+valid at event time / usage tier (``/root/reference/gsmrating.sh:14``;
+SURVEY.md §2.C C6). Spark has no native ASOF JOIN, so we implement the
+scalable idiom: union both sides, one window pass per key, carry the
+most recent right-side value forward. One shuffle on the key — no
+range-explosion, no skewed theta-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before
+    its timestamp (``backward``; ``forward`` = earliest at-or-after).
+
+    Implementation: tag + union + single window pass — shuffles once on
+    ``on`` and scales linearly; the naive non-equi join alternative is
+    O(|L|·|R|) per key and unusable at 100 TB.
+
+    Right-side payload columns must not collide with left columns
+    (rename before calling). Ties at equal timestamps resolve to the
+    right row (matching ``t >= t_right`` asof semantics).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in keys and c != right_time]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    l_tagged = left.withColumn("__t", F.col(left_time)).withColumn(
+        "__is_right", F.lit(0)
+    )
+    for c in payload:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.withColumn("__t", F.col(right_time)).withColumn(
+        "__is_right", F.lit(1)
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = keys + ["__t", "__is_right"] + payload + [
+        c for c in left.columns if c not in keys and c != "__t"
+    ]
+    unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").desc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
+
+    out_cols = [c for c in left.columns] + carried
+    return (
+        unioned.select(*[c for c in unioned.columns if c not in payload], *carried)
+        .filter(F.col("__is_right") == 0)
+        .select(*out_cols)
+    )
+
+
+def range_join(
+    fact: DataFrame,
+    tiers: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join a fact to a (small) tier/tariff table on
+    ``lo <= value < hi`` — broadcast the tiers so the non-equi predicate
+    evaluates map-side (BroadcastNestedLoopJoin over a dim of O(10)
+    rows; never shuffles the fact)."""
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(tiers), cond, "inner")

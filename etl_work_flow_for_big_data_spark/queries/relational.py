@@ -1,0 +1,633 @@
+"""Relational query family: rating arithmetic, joins, aggregations,
+windows, sort/limit, set ops (SURVEY.md §2.B9, §2.C, §2.D, §2.E).
+
+Every query is a (Spark callable, DuckDB oracle) pair. Conventions for
+hash-parity with the oracle:
+
+- every computed column aliased identically on both sides;
+- floating aggregates rounded (2dp money, 4dp stats) on both sides;
+- rankings ordered by rounded keys with deterministic tie-breaks;
+- counts cast to BIGINT on both sides.
+
+Scale notes inline per query: broadcasts marked explicitly, fact tables
+never collected, filters written so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.operators.joins import asof_join, range_join
+from etl_work_flow_for_big_data_spark.queries import query
+
+# --------------------------------------------------------------------
+# B9 — flagship rating query (the PySpark analog of what the
+# reference's `gsmrating` batch does: per-CDR charge = usage × rate ±
+# discounts/taxes, aggregated per status flags; gsmrating.sh:14).
+# TPC-H-Q1-shaped. Exercises scan pushdown, map-side partial agg,
+# 2-key hash agg, sort. At 100 TB: pure partial+final hash agg over a
+# 6-value key space — no skew possible, one shuffle of tiny partials.
+# --------------------------------------------------------------------
+
+
+@query(
+    "rate_charge",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
+      ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      ROUND(AVG(l_quantity), 2)                                       AS avg_qty,
+      ROUND(AVG(l_extendedprice), 2)                                  AS avg_price,
+      ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+      CAST(COUNT(*) AS BIGINT)                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="B9 rating arithmetic — domain of gsmrating.sh:14; TPC-H Q1 shape",
+)
+def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# C — join suite. The reference's per-packet hash dispatch and
+# existence gates (MFramework.cpp:1276-1312, :1729-1743) are
+# broadcast/semi/anti joins in Spark.
+# --------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast",
+    """
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT)   AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name <> 'EUROPE'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="C1 hash lookup join (MFramework.cpp:1276-1306) → broadcast hash join; "
+    "dims broadcast so the customer scan never shuffles for the join",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") != "EUROPE")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="C2 reject path — packets with no live session are dropped "
+    "(MFramework.cpp:1308-1312) → left_anti join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT)        AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="C3 left join + null defaulting — optional settings rows "
+    "(MFramework.cpp:419-431) → left join + coalesce",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    SEMI JOIN orders o ON o.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="C4 existence gate — 'is session configured?' "
+    "(MFramework.cpp:1729-1743) → left_semi join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_star",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)                              AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="C5 multi-way star join — rating CDR×tariff×customer×plan "
+    "(gsmrating.sh:14 domain; TPC-H Q5 shape). lineitem⋈orders is the "
+    "only shuffle join; customer/nation/region broadcast.",
+)
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_range",
+    """
+    SELECT t.tier,
+           CAST(COUNT(*) AS BIGINT)                 AS n_lines,
+           ROUND(SUM(l.l_extendedprice * t.rate), 2) AS tier_charge
+    FROM lineitem l
+    JOIN (VALUES (0.0, 10.0, 'T1', 0.05),
+                 (10.0, 25.0, 'T2', 0.10),
+                 (25.0, 51.0, 'T3', 0.20)) AS t(lo, hi, tier, rate)
+      ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+    doc="C6 range/tier join — usage-tier tariff rating (gsmrating.sh:14 "
+    "domain). Tier table broadcast ⇒ map-side nested-loop over O(3) "
+    "rows; the fact never shuffles for the join.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [(0.0, 10.0, "T1", 0.05), (10.0, 25.0, "T2", 0.10), (25.0, 51.0, "T3", 0.20)],
+        "lo double, hi double, tier string, rate double",
+    )
+    return (
+        range_join(li, tiers, "l_quantity")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 2).alias(
+                "tier_charge"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+@query(
+    "join_asof",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY p.event_id
+    """,
+    doc="C6 as-of join — tariff-valid-at-event-time rating semantics. "
+    "Spark impl: union + one window pass per key (operators/joins.py), "
+    "one shuffle, linear scale; oracle uses DuckDB native ASOF JOIN.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts"), F.col("ts").alias("signup_raw")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts",
+        right_time="s_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("signup_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------
+# D — aggregation suite ([DOM]/[NS]; SURVEY §2.D). All partial+final
+# hash aggregations; group keys are low-cardinality so no skew path
+# needed; approx_count_distinct is the 100-TB-scale answer to exact
+# distinct counts.
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_groupby",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT)     AS n_orders,
+           ROUND(SUM(o_totalprice), 2)  AS sum_price,
+           ROUND(AVG(o_totalprice), 2)  AS avg_price,
+           ROUND(MIN(o_totalprice), 2)  AS min_price,
+           ROUND(MAX(o_totalprice), 2)  AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="D1 hash aggregation with partial/final phases (Catalyst default)",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="D2 exact distinct (expand + two-phase agg in Spark)",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE                                      AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="D3 approx count-distinct (HLL; the 100-TB answer). HLL values "
+    "aren't bit-identical across engines, so the oracle checks the "
+    "estimate lands within 5% of exact (approx_ok) plus the exact count.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                < 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT)         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS sum_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="D4 rollup/grouping sets",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
+    "agg_conditional",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2)
+                                                                       AS sum_f
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="D5 filtered/conditional aggregation (sum(when(...)))",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(is_f, 1).otherwise(0)).cast("long").alias("n_f"),
+            F.sum(F.when(is_o, 1).otherwise(0)).cast("long").alias("n_o"),
+            F.round(
+                F.coalesce(F.sum(F.when(is_f, F.col("o_totalprice"))), F.lit(0.0)), 2
+            ).alias("sum_f"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4)           AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 4)              AS var_qty,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4)    AS median_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 4)    AS p90_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="D6 statistics: stddev/variance/correlation/exact interpolated "
+    "percentiles (Spark `percentile` == DuckDB quantile_cont); "
+    "percentile_approx is the streaming/100-TB variant (tested "
+    "separately, not oracle-hashable)",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# E — windows, top-k, sort, set ops (SURVEY §2.E).
+# --------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey,
+             o_orderkey,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(RANK()       OVER w AS BIGINT) AS rnk,
+             CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey)
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    doc="E1 ranking window functions; rn<=3 = latest-3-orders-per-customer",
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "window_analytic",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+           ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="E2 analytic window functions: lag/lead/running sum",
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "topk",
+    """
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 2) AS total_spent,
+           CAST(COUNT(*) AS BIGINT)    AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey
+    LIMIT 10
+    """,
+    doc="E3 global top-k — Spark plans TakeOrderedAndProject (no full "
+    "sort; per-partition heaps + driver merge, the right 100-TB plan). "
+    "Rounded sort key + custkey tie-break keep ranking deterministic.",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), "o_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "sort_multi",
+    """
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_orderstatus ASC, price DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+    doc="E4 multi-key sort + limit (TakeOrderedAndProject)",
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.asc("o_orderstatus"), F.desc("price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "set_union",
+    """
+    WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'f_only' AS op, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+    UNION ALL
+    SELECT 'either' AS op, o_custkey FROM (SELECT o_custkey FROM f UNION SELECT o_custkey FROM o)
+    ORDER BY op, o_custkey
+    """,
+    doc="E5 union/intersect/except — multi-queue stream merge analog "
+    "(MFramework.cpp:1119-1131)",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("op"), "o_custkey")
+    f_only = f_cust.exceptAll(o_cust).select(F.lit("f_only").alias("op"), "o_custkey")
+    either = f_cust.union(o_cust).distinct().select(
+        F.lit("either").alias("op"), "o_custkey"
+    )
+    return both.unionByName(f_only).unionByName(either).orderBy("op", "o_custkey")

@@ -1,0 +1,43 @@
+"""Oracle-differential test over every registered query (driver t2
+replica, run at sf0.001 for speed; the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_work_flow_for_big_data_spark.queries import load_all
+from tests.parity import compare
+
+REGISTRY = load_all()
+ORACLE_KEYS = sorted(k for k, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_KEYS = sorted(k for k, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    spec = REGISTRY[name]
+    compare(spec.fn(spark, sf_dir), duck.sql(spec.oracle))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_runs(name, spark, sf_dir):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())
