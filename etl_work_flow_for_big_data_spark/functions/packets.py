@@ -1,0 +1,115 @@
+"""Packet wire-format functions — the reference's DataMap semantics.
+
+The reference's inter-stage record is a ``multimap<char, string>``
+serialized as newline-separated ``k=value`` lines
+(``/root/reference/MFramework.cpp:1234-1243`` parse,
+``:1552-1560`` serialize). Observable quirks we preserve exactly:
+
+- a line is a valid entry iff it has ``=`` at offset 1; the key is the
+  single char at offset 0; the value is everything from offset 2 and
+  may itself contain ``=`` (``MFramework.cpp:1237-1239``);
+- duplicate keys are allowed (multimap); iteration — hence serialized
+  order — is key-sorted, insertion-ordered within equal keys
+  (std::multimap semantics);
+- each serialized entry ends with ``\\n``, including the last
+  (``MFramework.cpp:1552-1560``).
+
+Log-level decode follows ``LoggerWriter.cpp:182-205``; the bit values
+of ``d_log_level_*`` are not in the repo (headers absent) but the
+"clamp else 31" default (``MFramework.cpp:535-540``) pins
+info..error = 1,2,4,8,16 and alert = 32.
+
+All functions are pure Catalyst expressions (no Python UDFs) — they
+whole-stage-codegen and cost nothing extra at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: level bit → letter (LoggerWriter.cpp:182-205)
+LOG_LEVELS = {1: "I", 2: "D", 4: "W", 8: "C", 16: "E", 32: "A"}
+DEFAULT_GLOBAL_MASK = 31  # MFramework.cpp:535-540
+
+
+def packet_entries(payload: Column) -> Column:
+    """Parse ``k=value`` wire text into an array<struct<key,value>>,
+    preserving duplicates and arrival order (the faithful multimap)."""
+    lines = F.split(payload, "\n")
+    valid = F.filter(
+        lines, lambda l: (F.length(l) >= 2) & (F.substring(l, 2, 1) == F.lit("="))
+    )
+    return F.transform(
+        valid,
+        lambda l: F.struct(
+            F.substring(l, 1, 1).alias("key"),
+            F.substring(l, 3, 2147483647).alias("value"),
+        ),
+    )
+
+
+def packet_map(payload: Column) -> Column:
+    """Parse wire text to map<string,string>. Duplicate keys collapse
+    to the LAST occurrence (deterministic; documented deviation from
+    the reference's multimap, which keeps all — use
+    :func:`packet_entries` when duplicates matter)."""
+    entries = packet_entries(payload)
+    # last-wins without relying on spark.sql.mapKeyDedupPolicy: keep an
+    # entry only if no later entry has the same key
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(deduped)
+
+
+def packet_get(payload_map: Column, key: str) -> Column:
+    """``element_at`` with absent→NULL (the reference's find()==end())."""
+    return F.element_at(payload_map, F.lit(key))
+
+
+def serialize_entries(entries: Column) -> Column:
+    """Serialize entries back to wire text in std::multimap iteration
+    order: key-ascending, insertion-ordered within equal keys; every
+    entry (including the last) newline-terminated
+    (MFramework.cpp:1552-1560)."""
+    indexed = F.transform(
+        entries,
+        lambda e, i: F.struct(e["key"].alias("key"), e["value"].alias("value"), i.alias("idx")),
+    )
+    ordered = F.array_sort(
+        indexed,
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .when(a["idx"] < b["idx"], -1)
+        .otherwise(1),
+    )
+    body = F.array_join(
+        F.transform(ordered, lambda e: F.concat(e["key"], F.lit("="), e["value"], F.lit("\n"))),
+        "",
+    )
+    return body
+
+
+def serialize_map(payload_map: Column) -> Column:
+    """Serialize a map column to wire text (key-sorted)."""
+    return serialize_entries(F.map_entries(payload_map))
+
+
+def bitmask_admit(level: Column, global_mask: int = DEFAULT_GLOBAL_MASK) -> Column:
+    """Log-admission predicate ``global_mask & level != 0``
+    (LoggerWriter.cpp:178)."""
+    return level.bitwiseAND(F.lit(global_mask)) != 0
+
+
+def decode_level(level: Column) -> Column:
+    """Level bit → letter I/D/W/C/E/A, else N (LoggerWriter.cpp:182-205)."""
+    expr = None
+    for bit, letter in LOG_LEVELS.items():
+        cond = F.when(level == bit, letter)
+        expr = cond if expr is None else expr.when(level == bit, letter)
+    return expr.otherwise("N")

@@ -1,1 +1,327 @@
-"""Placeholder — populated in a later commit."""
+"""Packet/row-transform query family (SURVEY.md §2.B B1-B8, I6).
+
+The fixture tables carry no wire-format payloads, so each query first
+SYNTHESIZES a deterministic ``k=value`` payload column from ``events``
+(same construction on the Spark and oracle sides), then exercises the
+engine's packet functions on it. The oracle recomputes the expected
+field values directly from the source columns — i.e. it checks
+``extract ∘ parse ∘ build == project`` as an end-to-end identity.
+
+Edge cases baked into the payload: a missing required key (``s``
+absent for every 5th user), a value containing ``=`` (``x=eq=...``),
+duplicate keys (serialize query), and an unparseable int (cast query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.functions.packets import (
+    bitmask_admit,
+    decode_level,
+    packet_entries,
+    packet_get,
+    packet_map,
+    serialize_entries,
+)
+from etl_work_flow_for_big_data_spark.queries import query
+
+# Shared payload construction (MUST stay in sync with _PAYLOAD_SQL).
+_PAYLOAD_SQL = """
+    CASE WHEN user_id % 5 = 0 THEN '' ELSE 's=' || user_id || chr(10) END
+    || 'f=file_' || (event_id % 10) || '.cdr' || chr(10)
+    || 't=' || event_type || chr(10)
+    || 'v=' || CAST(ROUND(value * 100) AS BIGINT) || chr(10)
+    || 'x=eq=' || event_type || chr(10)
+"""
+
+
+def _payload(df: DataFrame) -> DataFrame:
+    nl = F.lit("\n")
+    cents = F.round(F.col("value") * 100).cast("long").cast("string")
+    payload = F.concat(
+        F.when(
+            F.col("user_id") % 5 == 0, F.lit("")
+        ).otherwise(F.concat(F.lit("s="), F.col("user_id").cast("string"), nl)),
+        F.lit("f=file_"),
+        (F.col("event_id") % 10).cast("string"),
+        F.lit(".cdr"),
+        nl,
+        F.lit("t="),
+        F.col("event_type"),
+        nl,
+        F.lit("v="),
+        cents,
+        nl,
+        F.lit("x=eq="),
+        F.col("event_type"),
+        nl,
+    )
+    return df.withColumn("payload", payload)
+
+
+@query(
+    "parse_kv",
+    f"""
+    WITH p AS (SELECT event_id, user_id, event_type, value,
+                      {_PAYLOAD_SQL} AS payload FROM events)
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END    AS s,
+           'file_' || (event_id % 10) || '.cdr'                    AS f,
+           event_type                                              AS t,
+           CAST(ROUND(value * 100) AS BIGINT)                      AS v_cents,
+           'eq=' || event_type                                     AS x,
+           CAST(CASE WHEN user_id % 5 = 0 THEN 4 ELSE 5 END AS INT) AS n_entries
+    FROM p
+    ORDER BY event_id
+    """,
+    doc="B1 packet parse: k=v wire text → typed fields "
+    "(MFramework.cpp:1234-1243; key = offset 0, '=' at offset 1, value "
+    "keeps further '='). Pure Catalyst split/filter/transform — codegens.",
+)
+def parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _payload(load_table(spark, sf_dir, "events"))
+    m = packet_map(F.col("payload"))
+    return ev.select(
+        "event_id",
+        packet_get(m, "s").cast("long").alias("s"),
+        packet_get(m, "f").alias("f"),
+        packet_get(m, "t").alias("t"),
+        packet_get(m, "v").cast("long").alias("v_cents"),
+        packet_get(m, "x").alias("x"),
+        F.size(packet_entries(F.col("payload"))).alias("n_entries"),
+    ).orderBy("event_id")
+
+
+@query(
+    "serialize_kv",
+    """
+    SELECT event_id,
+           'd=first' || chr(10) || 'd=second' || chr(10)
+           || 'f=file_' || (event_id % 10) || '.cdr' || chr(10)
+           || 's=' || user_id || chr(10)
+           || 't=' || event_type || chr(10)                        AS payload
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="B2 packet serialize: entries → k=v wire text in std::multimap "
+    "order (key-ascending, insertion-stable for duplicate keys), every "
+    "entry newline-terminated (MFramework.cpp:1552-1560)",
+)
+def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # deliberately out of key order + a duplicate key, to prove ordering
+    entries = F.array(
+        F.struct(F.lit("t").alias("key"), F.col("event_type").alias("value")),
+        F.struct(F.lit("d").alias("key"), F.lit("first").alias("value")),
+        F.struct(F.lit("s").alias("key"), F.col("user_id").cast("string").alias("value")),
+        F.struct(F.lit("d").alias("key"), F.lit("second").alias("value")),
+        F.struct(
+            F.lit("f").alias("key"),
+            F.concat(F.lit("file_"), (F.col("event_id") % 10).cast("string"), F.lit(".cdr")).alias(
+                "value"
+            ),
+        ),
+    )
+    return ev.select(
+        "event_id", serialize_entries(entries).alias("payload")
+    ).orderBy("event_id")
+
+
+@query(
+    "filter_required",
+    f"""
+    WITH p AS (SELECT event_id, user_id, {_PAYLOAD_SQL} AS payload FROM events)
+    SELECT event_id, user_id AS s
+    FROM p WHERE user_id % 5 <> 0
+    ORDER BY event_id
+    """,
+    doc="B3 validity filter: drop packets lacking required key 's' "
+    "(MFramework.cpp:1245-1250)",
+)
+def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _payload(load_table(spark, sf_dir, "events"))
+    m = packet_map(F.col("payload"))
+    return (
+        ev.select("event_id", packet_get(m, "s").cast("long").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "project_rename",
+    f"""
+    WITH p AS (SELECT event_id, user_id, event_type, value,
+                      {_PAYLOAD_SQL} AS payload FROM events)
+    SELECT event_id,
+           CAST(user_id AS VARCHAR)              AS s_norm,
+           'file_' || (event_id % 10) || '.cdr'  AS fname
+    FROM p WHERE user_id % 5 <> 0
+    ORDER BY event_id
+    """,
+    doc="B4 key projection/rewrite: copy map, normalize 's' "
+    "(parse-int → restringify), extract 'f' (MFramework.cpp:1264-1273)",
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _payload(load_table(spark, sf_dir, "events"))
+    m = packet_map(F.col("payload"))
+    return (
+        ev.select(
+            "event_id",
+            packet_get(m, "s").cast("long").cast("string").alias("s_norm"),
+            packet_get(m, "f").alias("fname"),
+        )
+        .filter(F.col("s_norm").isNotNull())
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "cast_types",
+    """
+    SELECT event_id,
+           TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'bad'
+                         ELSE CAST(user_id AS VARCHAR) END AS BIGINT) AS s_long,
+           event_id % 7 <> 0                                          AS is_valid
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="B5 typed cast with malformed input: string→int of routing keys "
+    "(m_FromString<int>, MFramework.cpp:1276) via try_cast (NULL on junk)",
+)
+def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s_str = F.when(F.col("event_id") % 7 == 0, F.lit("bad")).otherwise(
+        F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        s_str.try_cast("long").alias("s_long"),
+        (F.col("event_id") % 7 != 0).alias("is_valid"),
+    ).orderBy("event_id")
+
+
+@query(
+    "filter_bitmask",
+    """
+    SELECT event_id,
+           CAST((1 << (event_id % 6)) AS INT) AS level
+    FROM events
+    WHERE ((1 << (event_id % 6)) & 31) <> 0
+    ORDER BY event_id
+    """,
+    doc="B6 bitmask admission: global_level & msg_level "
+    "(LoggerWriter.cpp:178); mask 31 admits info..error, drops alert",
+)
+def filter_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    level = F.expr("shiftleft(1, CAST(event_id % 6 AS INT))")
+    return (
+        ev.select("event_id", level.cast("int").alias("level"))
+        .filter(bitmask_admit(F.col("level")))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "case_map",
+    """
+    SELECT event_id,
+           CAST((1 << (event_id % 7)) AS INT) AS level,
+           CASE (1 << (event_id % 7))
+             WHEN 1  THEN 'I' WHEN 2  THEN 'D' WHEN 4 THEN 'W'
+             WHEN 8  THEN 'C' WHEN 16 THEN 'E' WHEN 32 THEN 'A'
+             ELSE 'N' END                     AS level_letter
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="B7 enum decode: level bit → I/D/W/C/E/A/N "
+    "(LoggerWriter.cpp:182-205; %7 yields 64 → 'N' default branch)",
+)
+def case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    level = F.expr("shiftleft(1, CAST(event_id % 7 AS INT))").cast("int")
+    return ev.select(
+        "event_id", level.alias("level"), decode_level(level).alias("level_letter")
+    ).orderBy("event_id")
+
+
+@query(
+    "scalar_string_date",
+    """
+    SELECT o_orderkey,
+           substring(o_orderpriority, 1, 1)                          AS prio_code,
+           position('URGENT' IN o_orderpriority) > 0                 AS is_urgent,
+           upper(o_orderstatus) || '-' || lower(o_orderpriority)     AS tag,
+           strftime(o_orderdate, '%Y-%m')                            AS order_month,
+           CAST(year(o_orderdate) AS INT)                            AS order_year,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+                                                                     AS days_since_epoch,
+           ROUND(ABS(o_totalprice - 100000.5), 2)                    AS amt_dev
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    doc="B8 scalar string/date/math suite: substring/instr/concat/case "
+    "conversion/date_format/year/datediff/round/abs "
+    "(MFramework.cpp:1236,:1559; LoggerWriter.cpp:211)",
+)
+def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        (F.instr("o_orderpriority", "URGENT") > 0).alias("is_urgent"),
+        F.concat(
+            F.upper("o_orderstatus"), F.lit("-"), F.lower("o_orderpriority")
+        ).alias("tag"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.5), 2).alias("amt_dev"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "parse_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_via_path
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="B1/I6 JSON extraction: from_json with schema + get_json_object "
+    "path access over events.props",
+)
+def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_via_path"),
+    ).orderBy("event_id")
+
+
+@query(
+    "serialize_json",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+             AS js
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="B2 JSON serialization: to_json(struct(...)) — oracle builds the "
+    "expected compact-JSON string by hand (fields contain no escapes)",
+)
+def serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.to_json(F.struct("event_id", "event_type")).alias("js")
+    ).orderBy("event_id")
