@@ -1,0 +1,143 @@
+"""Text-analysis functions for LLM-training-data pipelines
+(SURVEY.md §2.I I1-I4): tokenization, shingling, MinHash, SimHash,
+language scoring, quality metrics, fingerprinting.
+
+All pure Catalyst expressions (split/transform/aggregate/md5) — no
+Python UDFs, so they whole-stage-codegen and shuffle nothing beyond
+what the calling query asks for. Hashes use md5 hex (cross-engine
+deterministic: identical in DuckDB), with numeric variants via
+``conv(hex, 16, 10)``.
+
+At 100 TB: everything here is per-row (narrow); the expensive parts of
+dedup are the joins in :mod:`..operators.dedup`, not these functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny English stopword set for language scoring (word-soup fixture
+#: vocabulary includes 'the' and 'a'; real deployments swap in a per-
+#: language list — the operator shape is what matters)
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens."""
+    return F.filter(F.split(text, " "), lambda t: F.length(t) > 0)
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_tokens(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
+    """Regex-based (BPE-ish) token extraction; count with F.size."""
+    return F.regexp_extract_all(text, F.lit(pattern), 0)
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Distinct word k-gram shingles (space-joined)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def hash_hex(col: Column, prefix: str = "") -> Column:
+    """md5 hex of (prefix || col) — cross-engine deterministic."""
+    return F.md5(F.concat(F.lit(prefix), col)) if prefix else F.md5(col)
+
+
+def hash_int16(col: Column) -> Column:
+    """16-bit int from the first 4 md5 hex chars (DuckDB mirror:
+    ``CAST('0x' || substring(md5(x),1,4) AS INT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+
+def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:
+    """MinHash signature: per hash function i, the lexicographic min of
+    ``md5(i # shingle)`` over the shingle set. Hex-string minima are
+    order-isomorphic to numeric minima and identical across engines."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("#"), s)),
+            )
+        ),
+    )
+
+
+def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 3) -> Column:
+    """LSH band keys: concat of each band's signature rows, prefixed by
+    the band index (docs sharing any band key are candidate pairs)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit(":"),
+            F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"),
+        ),
+    )
+
+
+def simhash16_expr(tokens_sql: str) -> str:
+    """Spark SQL expression text for the 16-bit SimHash of a
+    distinct-token array expression ``tokens_sql``. (String form because
+    ``shiftleft``'s Python DSL wrapper needs literal shift amounts.)
+
+    DuckDB mirror uses ``list_reduce``/``list_transform`` and
+    ``CAST('0x'||... AS INT)`` — see queries/text.py.
+    """
+    return f"""
+    aggregate(
+      sequence(0, 15), 0,
+      (acc, j) -> acc + IF(
+        aggregate({tokens_sql}, 0,
+          (a, t) -> a + IF(((CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) >> j) & 1) = 1, 1, -1)
+        ) > 0, shiftleft(1, j), 0))
+    """
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_stop / F.size(toks).cast("double")
+
+
+def type_token_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks).cast("double")
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + whitespace collapse + trim (fingerprint canonical form)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def min_shingle_fingerprint(text: Column, k: int = 5) -> Column:
+    """Winnowing-style robust fingerprint: min md5 over k-gram shingles
+    (stable under local edits away from the minimal shingle)."""
+    return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))

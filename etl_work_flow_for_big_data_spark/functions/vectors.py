@@ -1,0 +1,62 @@
+"""Vector/embedding functions (SURVEY.md §2.I I3/I5).
+
+Pure Catalyst higher-order expressions over ``array<float>`` columns —
+no UDFs, no ml-lib dependency. All arithmetic is double-precision with
+left-to-right accumulation so an oracle that mirrors the formula
+reproduces bit-identical results (FP addition is order-sensitive; we
+fix the order instead of hoping).
+
+At 100 TB: these are narrow per-row expressions; the join strategy of
+the calling operator (broadcast queries / LSH buckets) is what decides
+cost — see operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in doubles, accumulated left-to-right (DuckDB mirror:
+    ``list_reduce(list_transform(range(1, len(a)+1), i ->
+    CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)), (x,y) -> x+y)``)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity = dot / sqrt(|a|²·|b|²)."""
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bucket id)
+    for the vector column named by ``vec_sql``.
+
+    Plane weights are pseudo-random ints derived from md5 —
+    ``w(p,i) = (int(md5(p_i)[:4], 16) % 1001) - 500`` — so any engine
+    mirroring the formula computes identical buckets. Bit p of the
+    signature is set iff the projection of ``vec`` onto plane p is
+    ≥ 0. Cosine-preserving: near vectors collide with high probability.
+
+    DuckDB mirror: same double-precision left-to-right fold with
+    ``CAST('0x' || substring(md5(p || '_' || i), 1, 4) AS INT)``.
+    """
+    return F.expr(
+        f"""
+        aggregate(sequence(0, {n_planes - 1}), 0, (sig, p) -> sig + IF(
+          aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE),
+            (acc, i) -> acc +
+              (CAST(conv(substring(md5(concat(p, '_', i)), 1, 4), 16, 10) AS INT) % 1001 - 500)
+              * CAST(element_at({vec_sql}, i) AS DOUBLE)
+          ) >= 0, shiftleft(1, p), 0))
+        """
+    )

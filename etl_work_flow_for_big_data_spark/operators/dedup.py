@@ -1,0 +1,168 @@
+"""Deduplication operators for LLM-training-data pipelines
+(SURVEY.md §2.I I1/I2): exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **exact**: one hash-groupBy shuffle on a 16-byte digest — the
+  cheapest possible dedup; at 100 TB hash first, never shuffle full
+  document text.
+- **ngram_jaccard_pairs**: exact pairwise Jaccard via an inverted
+  shingle index (explode + self-equi-join on shingle). Cost is
+  Σ df(shingle)² — bounded by dropping "stop-shingles" whose document
+  frequency exceeds ``max_df`` (they contribute pairs quadratically
+  but little signal). This is the exact-but-expensive baseline.
+- **minhash_lsh_pairs**: the sub-quadratic scale path — constant-size
+  signature per doc, band-bucket equi-join produces only probable
+  candidates, exact Jaccard verifies. Shuffle volume is
+  O(docs × n_bands), independent of document length.
+- **simhash**: constant-size per-doc fingerprint; equal fingerprints
+  (or small Hamming distance) are near-dup candidates. Cheapest
+  candidate generator; coarser recall.
+
+All candidate generation is equi-join-based (hash-partitionable);
+nothing here does a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.functions.text import (
+    fingerprint,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    simhash16_expr,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the min-id row.
+    Returns (text_hash, keeper_id, n_copies)."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("id")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Inverted index: one row per (id, distinct k-gram shingle)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact near-dup pairs by k-gram Jaccard ≥ threshold.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before pairing (quadratic-cost control at scale; None = keep all).
+    Returns (d1, d2, jaccard) with d1 < d2.
+    """
+    idx = shingle_index(df, text_col, id_col, k)
+    if max_df is not None:
+        rare = (
+            idx.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        idx = idx.join(rare, "sh")
+    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
+    nb = sizes.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(na, "d1")
+        .join(nb, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    n_hashes: int = 12,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding + exact-Jaccard verify.
+
+    Docs sharing any of ``n_bands`` band keys become candidates
+    (equi-join on band key); candidates are verified with exact Jaccard
+    on their shingle sets. Deterministic md5-based hash family — the
+    same candidates arise in any engine that mirrors the formula.
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard ≥ threshold.
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = base.select(
+        "id", F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
+    )
+    x = banded.alias("x")
+    y = banded.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("d1"), F.col("y.id").alias("d2"))
+        .distinct()
+    )
+    sh1 = base.select(F.col("id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = base.select(F.col("id").alias("d2"), F.col("sh").alias("sh2"))
+    return (
+        cand.join(sh1, "d1")
+        .join(sh2, "d2")
+        .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh1") + F.size("sh2") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over distinct tokens. Equal values are
+    near-dup candidates (constant-size state per doc; the cheapest
+    candidate generator at scale). Returns (id, simhash)."""
+    toks_sql = (
+        f"array_distinct(filter(split({text_col}, ' '), __t -> length(__t) > 0))"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(simhash16_expr(toks_sql)).cast("int").alias("simhash"),
+    )

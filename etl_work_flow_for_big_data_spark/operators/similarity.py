@@ -1,0 +1,108 @@
+"""Similarity-search operators over embedding columns
+(SURVEY.md §2.I I3): brute-force top-k (exact baseline), pairwise
+near-dup, and LSH-bucketed ANN (the scale path).
+
+Scale design:
+
+- **topk_cosine**: broadcast the (small) query set against the full
+  candidate table — a BroadcastNestedLoopJoin where the streamed side
+  is the big table, scanned once, no shuffle of candidates. Linear in
+  candidates × queries; right whenever |queries| is dim-table-sized.
+- **cosine_pairs**: O(n²) self-join — the exact baseline; cap the
+  input or switch to LSH beyond ~10⁵ vectors.
+- **ann_lsh_topk**: hyperplane-LSH bucket equi-join; each query only
+  scores candidates in its bucket. Shuffle O(n), score O(n²/2^planes)
+  in expectation. Recall tunable via n_planes / multi-probe.
+
+Ranking uses ROUND(cos, 6) + id tie-break so order is deterministic
+and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.functions.vectors import (
+    cosine,
+    lsh_hyperplane_sig,
+)
+
+
+def topk_cosine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+    Returns (q_vec_id, rank, c_vec_id, cos_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_vec_id") != F.col("c_vec_id"))
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
+    )
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — baseline)."""
+    a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", "cos_sim")
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's LSH
+    bucket. Returns (q_vec_id, rank, c_vec_id, cos_sim) — recall < 1
+    by design; deterministic given the md5 hash family."""
+    sig = lsh_hyperplane_sig(vec_col, n_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig.alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        sig.alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
+    )

@@ -1,1 +1,117 @@
-"""Placeholder — populated in a later commit."""
+"""Similarity-search query family (SURVEY.md §2.I I3/I5) over the
+``embeddings`` table (500–2000 × 64-dim float vectors).
+
+Oracle parity: both sides compute cosine with the same double-
+precision left-to-right fold (see functions/vectors.py), round to 6dp
+BEFORE ranking, and tie-break on vec_id — bit-identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_pairs,
+    topk_cosine,
+)
+from etl_work_flow_for_big_data_spark.queries import query
+
+#: DuckDB fragments mirroring functions/vectors.py exactly
+_DOT = """
+list_reduce(
+  list_transform(range(1, len({a}) + 1),
+    __i -> CAST({a}[__i] AS DOUBLE) * CAST({b}[__i] AS DOUBLE)),
+  (__x, __y) -> __x + __y)
+"""
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"sqrt(({_DOT.format(a=a, b=a)}) * ({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@query(
+    "sim_topk",
+    f"""
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                       AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)   AS cos_sim
+    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+    JOIN embeddings c ON q.vec_id <> c.vec_id
+    QUALIFY rank <= 10
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 exact top-k cosine: broadcast query set × streamed "
+    "candidates, no candidate shuffle; rank on rounded similarity",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return topk_cosine(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=10
+    ).orderBy("q_vec_id", "rank")
+
+
+@query(
+    "sim_pairs",
+    f"""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+    ORDER BY d1, d2
+    """,
+    doc="I2/I3 embedding near-dup pairs (exact O(n²) baseline; the LSH "
+    "variant below is the scale path)",
+)
+def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy("d1", "d2")
+
+
+_DUCK_SIG = """
+list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
+  list_reduce(list_transform(range(1, 65),
+    __i -> (CAST('0x' || substring(md5(__p || '_' || __i), 1, 4) AS INT) % 1001 - 500)
+           * CAST({v}[__i] AS DOUBLE)),
+    (__x, __y) -> __x + __y) >= 0
+  THEN (1 << __p) ELSE 0 END), (__x, __y) -> __x + __y)
+"""
+
+
+@query(
+    "sim_ann_lsh",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                      AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)  AS cos_sim
+    FROM (SELECT * FROM sig WHERE vec_id < 5) q
+    JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    QUALIFY rank <= 5
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 ANN via deterministic hyperplane LSH: bucket equi-join "
+    "restricts scoring to ~n/2^8 of candidates; md5-derived planes "
+    "make buckets engine-independent (oracle mirrors exactly)",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5
+    ).orderBy("q_vec_id", "rank")

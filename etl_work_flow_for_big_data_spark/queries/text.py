@@ -1,1 +1,294 @@
-"""Placeholder — populated in a later commit."""
+"""Text-analysis + dedup query family (SURVEY.md §2.I I1/I2/I4) over
+the ``documents`` table.
+
+Oracle-parity notes: tokenization is single-space split with empty
+filtering on both sides; all hashes are md5 hex (identical across
+engines); integer reductions are order-independent, so DuckDB's
+unordered ``list_distinct`` can't cause drift; every float is rounded
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.functions.text import (
+    EN_STOPWORDS,
+    avg_token_len,
+    bpe_ish_tokens,
+    fingerprint,
+    min_shingle_fingerprint,
+    stopword_ratio,
+    token_count,
+    tokens,
+    type_token_ratio,
+)
+from etl_work_flow_for_big_data_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from etl_work_flow_for_big_data_spark.queries import query
+
+#: DuckDB fragment: filtered whitespace tokens of documents.text
+_DUCK_TOKS = "list_filter(string_split(text, ' '), __t -> len(__t) > 0)"
+#: DuckDB fragment: distinct 5-gram shingles of documents.text
+_DUCK_SHINGLES = f"""
+list_distinct(list_transform(
+  range(1, greatest(len({_DUCK_TOKS}) - 4, 0) + 1),
+  __i -> array_to_string(({_DUCK_TOKS})[__i:__i+4], ' ')))
+"""
+
+
+@query(
+    "text_tokens",
+    f"""
+    SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT lang, unnest({_DUCK_TOKS}) AS token FROM documents)
+    GROUP BY lang, token
+    ORDER BY lang, token
+    """,
+    doc="I4 tokenize + frequency count (explode → groupBy; partial agg "
+    "keeps shuffle at vocab size, not corpus size)",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "token")
+    )
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                                   AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT)                    AS n_uniq,
+           ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+           ROUND(list_reduce(list_transform(toks, __x -> len(__x)), (__a, __b) -> __a + __b)
+                 / CAST(len(toks) AS DOUBLE), 4)                    AS avg_token_len,
+           ROUND(len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
+                 / CAST(len(toks) AS DOUBLE), 4)                    AS stop_ratio,
+           ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
+               + 0.3 * (len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
+                        / CAST(len(toks) AS DOUBLE))
+               + 0.3 * least(len(toks) / 100.0, 1.0), 4)            AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="I4 quality scoring: token count, type-token ratio, avg token "
+    "length, stopword ratio, composite score — all narrow expressions",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count(text)
+    ttr = type_token_ratio(text)
+    stop = stopword_ratio(text)
+    quality = 0.4 * ttr + 0.3 * stop + 0.3 * F.least(
+        n_tokens / 100.0, F.lit(1.0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("int").alias("n_tokens"),
+        F.size(F.array_distinct(tokens(text))).cast("int").alias("n_uniq"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(avg_token_len(text), 4).alias("avg_token_len"),
+        F.round(stop, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           lang AS labeled_lang,
+           ROUND(len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
+                 / CAST(len(toks) AS DOUBLE), 4) AS en_score,
+           CASE WHEN len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
+                     / CAST(len(toks) AS DOUBLE) > 0.05
+                THEN 'en' ELSE 'und' END          AS pred_lang
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="I4 language-ID heuristic: stopword-hit ratio per language "
+    "profile (fixture text is synthetic word soup, so the interesting "
+    "part is the operator shape: per-row set-membership scoring)",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    score = stopword_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.round(score, 4).alias("en_score"),
+        F.when(score > 0.05, "en").otherwise("und").alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           list_min(list_transform({_DUCK_SHINGLES}, __s -> md5(__s))) AS min_shingle_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="I4 document fingerprinting: whole-doc md5 of normalized text + "
+    "winnowing-style min-shingle-hash fingerprint",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        min_shingle_fingerprint(F.col("text"), 5).alias("min_shingle_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_regex",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), __t -> len(__t) > 0)) AS INT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text || ' ' || doc_id, '[a-z]+|[0-9]+')) AS INT)
+             AS n_re_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="I4 token counting: whitespace count + BPE-ish regex extraction "
+    "count (letters/digit runs)",
+)
+def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(F.col("text"), F.lit(" "), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens(aug)).cast("int").alias("n_re_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT)  AS keeper_id,
+           CAST(COUNT(*) AS BIGINT)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY text_hash
+    """,
+    doc="I1 exact dedup: hash-groupBy on a 16-byte digest (at 100 TB: "
+    "shuffle digests, never full text), min-id keeper policy",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, "text", "doc_id").orderBy("text_hash")
+
+
+@query(
+    "dedup_ngram",
+    f"""
+    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+         n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT d1, d2,
+           ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+    FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+    WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5
+    ORDER BY d1, d2
+    """,
+    doc="I2 exact n-gram Jaccard near-dup pairs via inverted shingle "
+    "index (explode + equi-join; the exact baseline the LSH variant "
+    "approximates)",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5).orderBy(
+        "d1", "d2"
+    )
+
+
+@query(
+    "dedup_minhash",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 12),
+               __i -> list_min(list_transform(sh, __s -> md5(__i || '#' || __s)))) AS sig
+      FROM base
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, 4),
+               __b -> __b || ':' || array_to_string(list_slice(sig, __b*3 + 1, __b*3 + 3), '|')))
+               AS band
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(len(list_intersect(s1.sh, s2.sh)) * 1.0
+                 / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4)
+             AS jaccard
+    FROM cand
+    JOIN base s1 ON cand.d1 = s1.doc_id
+    JOIN base s2 ON cand.d2 = s2.doc_id
+    WHERE len(list_intersect(s1.sh, s2.sh)) * 1.0
+          / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.5
+    ORDER BY d1, d2
+    """,
+    doc="I2 MinHash-LSH near-dup: md5 hash family → 12-row signature → "
+    "4-band bucket equi-join → exact-Jaccard verify. Sub-quadratic: "
+    "shuffle O(docs×bands), not O(docs²). Oracle mirrors the exact "
+    "hash family, so candidates are engine-independent.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", k=5, n_hashes=12, n_bands=4, threshold=0.5
+    ).orderBy("d1", "d2")
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_reduce(list_transform(range(0, 16), __j -> CASE WHEN
+               list_reduce(list_transform(toks,
+                 __t -> CASE WHEN ((CAST('0x' || substring(md5(__t), 1, 4) AS INT) >> __j) & 1) = 1
+                             THEN 1 ELSE -1 END),
+                 (__x, __y) -> __x + __y) > 0
+             THEN (1 << __j) ELSE 0 END), (__x, __y) -> __x + __y) AS INT) AS simhash
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="I2 SimHash fingerprints: 16-bit sign-of-bit-votes over distinct "
+    "tokens; constant per-doc state — the cheapest near-dup candidate "
+    "generator at scale",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(d, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    ).orderBy("doc_id")

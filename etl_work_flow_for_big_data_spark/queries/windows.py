@@ -1,1 +1,159 @@
-"""Placeholder — populated in a later commit."""
+"""Event-time window query family over ``events`` — the batch analogs
+of the streaming G7 semantics (SURVEY.md §2.G): tumbling, sliding and
+session windows, plus content-based/round-robin routing assignment
+(§2.F F1/F3) expressed declaratively.
+
+The same window builders run under Structured Streaming with
+watermarks (see streaming/windows.py); batch execution here is what
+makes them oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.queries import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "window_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="G7 tumbling event-time window (1h): Spark window() aligns to "
+    "epoch, so 1h-tumbling == date_trunc('hour') in the oracle. "
+    "Streaming twin adds withWatermark — same plan shape.",
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "window_sliding",
+    """
+    SELECT strftime(date_trunc('hour', ts) - INTERVAL (o.off) HOUR,
+                    '%Y-%m-%d %H:%M:%S')  AS window_start,
+           CAST(COUNT(*) AS BIGINT)       AS n_events,
+           ROUND(SUM(value), 2)           AS total_value
+    FROM events, (VALUES (0), (1)) AS o(off)
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    doc="G7 sliding window (2h size, 1h slide): each event lands in two "
+    "windows with starts date_trunc(hour,ts) and -1h; oracle expands "
+    "via a 2-row lateral VALUES",
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "window_session",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')                       AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')  AS session_end,
+           CAST(COUNT(*) AS BIGINT)                                     AS n_events,
+           ROUND(SUM(value), 2)                                         AS total_value
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    doc="G7 session window (30-min gap): Spark session_window() per "
+    "user; oracle is the classic gaps-and-islands SQL. Session end = "
+    "last event + gap (both sides). Streaming twin is the same groupBy "
+    "with a watermark; state per (user, open session) only.",
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT).alias("session_start"),
+            F.date_format("w.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "route_assign",
+    """
+    SELECT event_id,
+           event_type AS route,
+           CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) % 3
+                AS BIGINT) AS rr_slot
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="F1+F3 routing as data: content-based route key (the 't' "
+    "demux, MFramework.cpp:1372-1377) + round-robin slot within route "
+    "(producer index cycling, MFramework.cpp:1565-1571). The physical "
+    "twin is df.write.partitionBy(route) / repartition(n).",
+)
+def route_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        F.col("event_type").alias("route"),
+        ((F.row_number().over(w) - 1) % 3).cast("long").alias("rr_slot"),
+    ).orderBy("event_id")
