@@ -57,6 +57,7 @@ def _tuned(fn):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registry population)."""
     from etl_work_flow_for_big_data_spark.queries import (  # noqa: F401
+        multimodal,
         packets,
         relational,
         similarity,

@@ -1,0 +1,87 @@
+"""Streaming window/watermark builders (G7) and stateful helpers (G8).
+
+These are the streaming twins of the batch window queries in
+queries/windows.py — same groupBy shapes, plus a watermark so state is
+bounded and late data has defined semantics. The reference processes
+in arrival order with no event-time notion; G7/G8 are the north-star
+extensions (SURVEY.md §2.G).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: list[str] | None = None,
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling event-time aggregation with watermark. Late rows beyond
+    the watermark are dropped; state per (window, keys) only."""
+    g = df.withWatermark(ts_col, watermark).groupBy(
+        F.window(ts_col, window).alias("w"), *(keys or [])
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total_value"))
+    return g.agg(*aggs).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *(keys or []),
+        "n_events",
+        *(["total_value"] if value_col else []),
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based); state = one open session per key,
+    merged on arrival — the scalable sessionization."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state expires with the
+    watermark (G2-adjacent exactly-once semantics at the record level)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,119 @@
+"""Pipeline-spec compiler tests (F4: topology-as-data →
+chained DataFrame plan; mirrors session + M_LINKED_SESSIONS tables,
+/root/reference/MFramework.cpp:938-1014)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.operators import registry as reg_mod
+from etl_work_flow_for_big_data_spark.operators import transforms  # noqa: F401 (registers ops)
+from etl_work_flow_for_big_data_spark.plans.spec import PipelineSpec, Stage
+
+
+def _rows(*triples):
+    return [
+        {
+            "session_id": sid,
+            "operator_name": op,
+            "params": params,
+            "next_session_id": nxt,
+        }
+        for sid, op, params, nxt in triples
+    ]
+
+
+def test_compile_chain(spark):
+    # parse wire packets -> drop invalid -> stamp route: the reference's
+    # reader-thread path as a 3-stage spec
+    spec = PipelineSpec.from_rows(
+        "mediation",
+        _rows(
+            (1, "parse_packets", {}, 2),
+            (2, "filter_valid", {"required": "s"}, 3),
+            (3, "route_by", {"key": "t"}, None),
+        ),
+    )
+    df = spark.createDataFrame(
+        [("s=7\nt=rating\n",), ("t=orphan\n",), ("s=9\n",)], "payload string"
+    )
+    out = spec.compile(df).select("s", "route").collect()
+    got = sorted((r["s"], r["route"]) for r in out)
+    assert got == [(7, "rating"), (9, "dead-letter")]
+
+
+def test_order_follows_links_not_row_order(spark):
+    spec = PipelineSpec.from_rows(
+        "p",
+        _rows(
+            (2, "filter_expr", {"predicate": "v > 1"}, None),
+            (1, "with_column", {"name": "v", "expr": "id + 1"}, 2),
+        ),
+    )
+    chain = [s.session_id for s in spec.ordered()]
+    assert chain == [1, 2]
+    out = spec.compile(spark.range(3)).collect()
+    assert sorted(r["v"] for r in out) == [2, 3]
+
+
+def test_rejects_cycle():
+    spec = PipelineSpec(
+        "bad",
+        [
+            Stage(1, "identity", next_session_id=2),
+            Stage(2, "identity", next_session_id=1),
+        ],
+    )
+    with pytest.raises(ValueError, match="root"):
+        spec.ordered()
+
+
+def test_rejects_fork():
+    spec = PipelineSpec(
+        "bad",
+        [
+            Stage(1, "identity", next_session_id=3),
+            Stage(2, "identity", next_session_id=3),
+            Stage(3, "identity"),
+        ],
+    )
+    with pytest.raises(ValueError, match="root"):
+        spec.ordered()
+
+
+def test_rejects_dangling_edge():
+    spec = PipelineSpec("bad", [Stage(1, "identity", next_session_id=99)])
+    with pytest.raises(ValueError, match="dangling"):
+        spec.ordered()
+
+
+def test_unknown_operator_lists_known(spark):
+    spec = PipelineSpec("bad", [Stage(1, "no_such_op")])
+    with pytest.raises(KeyError, match="no_such_op"):
+        spec.compile(spark.range(1))
+
+
+def test_route_property():
+    spec = PipelineSpec.from_rows(
+        "p",
+        [
+            {
+                "session_id": 1,
+                "operator_name": "identity",
+                "next_session_id": None,
+                "next_component_type": "rating",
+            }
+        ],
+    )
+    assert spec.route == "rating"
+
+
+def test_compile_is_lazy(spark):
+    calls = []
+    reg = reg_mod.OperatorRegistry()
+    reg.register("probe", lambda df: (calls.append(1), df)[1])
+    spec = PipelineSpec("p", [Stage(1, "probe")])
+    spec.compile(spark.range(5), registry=reg)
+    # operator ran (plan built) but nothing executed — no action called
+    assert calls == [1]

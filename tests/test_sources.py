@@ -1,0 +1,69 @@
+"""Source/protocol registry tests (A3-A6, H2 — the ProtocolFactory
+analog, /root/reference/ProtocolFactory.cpp:78-118)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_work_flow_for_big_data_spark.sources.registry import DEFAULT
+
+
+def test_read_parquet(spark, sf_dir):
+    df = DEFAULT.read(spark, "parquet", f"{sf_dir}/nation.parquet")
+    assert df.count() == 25
+
+
+def test_read_csv_json_text_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    src.write.mode("overwrite").option("header", True).csv(str(tmp_path / "c"))
+    src.write.mode("overwrite").json(str(tmp_path / "j"))
+    got_c = DEFAULT.read(
+        spark, "csv", str(tmp_path / "c"), header=True, inferSchema=True
+    )
+    got_j = DEFAULT.read(spark, "json", str(tmp_path / "j"))
+    assert sorted(tuple(r) for r in got_c.collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["v"]) for r in got_j.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_kv_text_packets(spark, tmp_path):
+    # one packet per line; '|' substitutes the newline between entries
+    p = tmp_path / "packets.txt"
+    p.write_text("s=1|t=rating|x=a=b\ns=2|f=in.cdr\nt=orphan\n")
+    df = DEFAULT.read(spark, "kv_text", str(p))
+    rows = {r["s"]: r for r in df.collect()}
+    assert rows[1]["t"] == "rating" and rows[1]["attrs"]["x"] == "a=b"
+    assert rows[2]["f"] == "in.cdr"
+    assert rows[None]["t"] == "orphan"  # invalid packet visible pre-filter
+
+
+def test_unknown_format_error(spark):
+    with pytest.raises(KeyError, match="avro"):
+        DEFAULT.read(spark, "avro", "/nowhere")
+
+
+def test_jdbc_gated_with_clear_error(spark):
+    with pytest.raises(RuntimeError, match="JDBC driver"):
+        DEFAULT.read(spark, "jdbc", "jdbc:oracle:thin:@db:1521/X", dbtable="M_BROKER")
+
+
+def test_protocol_local_fetch(tmp_path):
+    src = tmp_path / "in.cdr"
+    src.write_text("s=1\n")
+    dst = tmp_path / "landing"
+    dst.mkdir()
+    out = DEFAULT.fetch("local", str(src), str(dst / "in.cdr"))
+    assert os.path.exists(out)
+
+
+def test_protocol_remote_stubs():
+    assert DEFAULT.protocols() == ["ftp", "ftps", "local", "sftp"]
+    for proto in ("ftp", "sftp", "ftps"):
+        with pytest.raises(NotImplementedError, match=proto):
+            DEFAULT.fetch(proto, "remote:/x", "/tmp/x")
+
+
+def test_unknown_protocol():
+    with pytest.raises(KeyError, match="scp"):
+        DEFAULT.fetch("scp", "a", "b")

@@ -1,0 +1,184 @@
+"""Structured Streaming tests: windows+watermark over a file stream,
+checkpoint restart without duplicates (G2), routed fan-out (F1),
+control plane incl. broadcast + idempotent start (G5), supervisor
+auto-restart (G4)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.sources.registry import DEFAULT as SOURCES
+from etl_work_flow_for_big_data_spark.streaming.engine import (
+    ACTION_RESTART,
+    ACTION_START,
+    ACTION_STOP,
+    PipelineManager,
+)
+from etl_work_flow_for_big_data_spark.streaming.sinks import start_routed_stream
+from etl_work_flow_for_big_data_spark.streaming.windows import (
+    dedup_within_watermark,
+    tumbling_agg,
+)
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_events_json(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    fname = path / f"chunk_{int(time.time() * 1e6)}.json"
+    with open(fname, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return fname
+
+
+_BASE = [
+    {"event_id": 1, "ts": "2024-01-01 00:05:00", "user_id": 1, "event_type": "view", "value": 1.0},
+    {"event_id": 2, "ts": "2024-01-01 00:55:00", "user_id": 1, "event_type": "view", "value": 2.0},
+    {"event_id": 3, "ts": "2024-01-01 01:05:00", "user_id": 2, "event_type": "click", "value": 3.0},
+    {"event_id": 4, "ts": "2024-01-01 01:45:00", "user_id": 2, "event_type": "view", "value": 4.0},
+]
+
+
+def test_tumbling_window_file_stream(spark, tmp_path):
+    indir = tmp_path / "in"
+    _write_events_json(indir, _BASE)
+    stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+    agg = tumbling_agg(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["window_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": (2, 3.0),
+        "2024-01-01 01:00:00": (2, 7.0),
+    }
+
+
+def test_routed_fanout_and_checkpoint_restart(spark, tmp_path):
+    """F1 lazy route creation + G2 restart-without-duplicates."""
+    indir, outdir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    _write_events_json(indir, _BASE)
+
+    def run_once():
+        stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+        routed = stream.withColumn("route", F.col("event_type"))
+        q = start_routed_stream(routed, str(outdir), str(ckpt), "route")
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(str(outdir)).collect()
+    assert sorted(r["event_id"] for r in first) == [1, 2, 3, 4]
+    routes = {r["route"] for r in first}
+    assert routes == {"view", "click"}  # routes materialized lazily per value
+
+    # restart with one new file: only the new rows appear once, old
+    # batches untouched (checkpoint = offset ledger)
+    _write_events_json(
+        indir,
+        [{"event_id": 5, "ts": "2024-01-01 02:00:00", "user_id": 3, "event_type": "buy", "value": 9.9}],
+    )
+    run_once()
+    again = spark.read.parquet(str(outdir)).collect()
+    assert sorted(r["event_id"] for r in again) == [1, 2, 3, 4, 5]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    indir = tmp_path / "in"
+    dup = dict(_BASE[0])
+    _write_events_json(indir, _BASE + [dup])  # exact duplicate of event 1
+    stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_test").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]
+
+
+@pytest.fixture
+def manager(spark, tmp_path):
+    indir = tmp_path / "ctrl_in"
+    _write_events_json(indir, _BASE)
+    mgr = PipelineManager(spark)
+
+    def builder(name):
+        def build(s):
+            stream = SOURCES.read_stream(s, "json", str(indir), EVENTS_SCHEMA)
+            return (
+                stream.writeStream.format("memory")
+                .queryName(f"ctrl_{name}")
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ctrl_ckpt_{name}_{time.time_ns()}")
+                )
+                .start()
+            )
+
+        return build
+
+    mgr.register("p1", builder("p1"))
+    mgr.register("p2", builder("p2"))
+    yield mgr
+    mgr.stop(None)
+
+
+def test_control_plane_start_stop_restart(manager):
+    assert manager.start("p1") is True
+    assert manager.start("p1") is False  # idempotent (MFramework.cpp:1782-1787)
+    assert manager.status()["p1"]["active"]
+
+    manager.control(ACTION_START, None)  # broadcast start (id 0 analog)
+    assert manager.status()["p2"]["active"]
+
+    manager.control(ACTION_STOP, "p1")
+    assert not manager.status()["p1"]["active"]
+    assert manager.status()["p2"]["active"]
+
+    manager.control(ACTION_RESTART, None)  # broadcast restart
+    st = manager.status()
+    assert st["p1"]["active"] and st["p2"]["active"]
+
+    stopped = manager.stop(None)  # broadcast stop
+    assert stopped == ["p1", "p2"]
+    assert not any(s["active"] for s in manager.status().values())
+
+
+def test_control_plane_errors(manager):
+    with pytest.raises(KeyError, match="nope"):
+        manager.start("nope")
+    with pytest.raises(ValueError, match="unknown control action"):
+        manager.control("explode", "p1")
+
+
+def test_supervisor_restarts_dead_query(manager):
+    manager.start("p1")
+    # kill behind the manager's back (the monitor's dead-session case,
+    # MFramework.cpp:1952-1964)
+    manager._pipelines["p1"].query.stop()
+    time.sleep(0.5)
+    restarted = manager.check_once()
+    assert restarted == ["p1"]
+    assert manager.status()["p1"]["active"]
+    assert manager.status()["p1"]["restarts"] == 1
+    # a stopped-on-purpose pipeline is NOT restarted
+    manager.stop("p1")
+    assert manager.check_once() == []
