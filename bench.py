@@ -3,10 +3,10 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as plan-build + execution to completion
-(``collect`` of an already-aggregated/limited result — every headline
-query reduces to a small output, so collect cost is negligible and the
-measured time is scan/shuffle/agg work).
+Each query is timed as plan-build + full execution through Spark's
+``noop`` sink — every row is produced and materialized by the engine
+but never converted to Python objects, so the measurement is
+scan/shuffle/agg/write throughput, not driver-side row conversion.
 """
 
 from __future__ import annotations
@@ -36,9 +36,8 @@ def main() -> None:
     for name in sorted(registry):
         spec = registry[name]
         t0 = time.perf_counter()
-        rows = spec.fn(spark, sf_dir).collect()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

