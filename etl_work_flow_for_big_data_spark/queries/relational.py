@@ -631,3 +631,89 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("either").alias("op"), "o_custkey"
     )
     return both.unionByName(f_only).unionByName(either).orderBy("op", "o_custkey")
+
+
+# --------------------------------------------------------------------
+# D4b/E6 — cube + correlated subqueries. The subquery pair exists to
+# prove the full SQL surface: Catalyst decorrelates EXISTS into a
+# semi-join and the scalar subquery into an aggregate+join — plans the
+# reference could never produce (it has no query optimizer, SURVEY §4).
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT)         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)      AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="D4 cube (all grouping-set combinations; the rollup twin)",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_SUBQ_EXISTS_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "subquery_exists",
+    _SUBQ_EXISTS_SQL,
+    doc="correlated EXISTS (TPC-H Q4 shape) — Catalyst decorrelates to "
+    "a left-semi join on l_orderkey with the date predicate",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ_EXISTS_SQL)
+
+
+_SUBQ_SCALAR_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT)      AS n_small,
+           ROUND(SUM(l_extendedprice), 2) AS small_revenue
+    FROM lineitem l1
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey
+    )
+"""
+
+
+@query(
+    "subquery_scalar",
+    _SUBQ_SCALAR_SQL,
+    doc="correlated scalar subquery (TPC-H Q17 shape) — decorrelated "
+    "into a per-part aggregate joined back to the fact",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SUBQ_SCALAR_SQL)

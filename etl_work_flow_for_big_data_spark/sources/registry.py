@@ -142,6 +142,19 @@ def _read_jdbc(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
 DEFAULT.register("jdbc", _read_jdbc)
 
 
+def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str = "|") -> None:
+    """A2 queue-sink analog: serialize packet maps back to the wire
+    format (key-sorted ``k=v`` entries, LoggerWriter/AMQPProducer shape,
+    MFramework.cpp:1552-1560) and write one packet per line, entry
+    separator substituted with ``sep``."""
+    from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
+
+    out = df.select(
+        F.translate(serialize_map(F.col(attrs_col)), "\n", sep).alias("value")
+    )
+    out.write.mode("overwrite").text(path)
+
+
 # -- fetch protocols -----------------------------------------------------
 
 

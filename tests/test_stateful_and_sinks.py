@@ -1,0 +1,123 @@
+"""G8 stateful per-key processing (state survives restart via
+checkpoint), A7 log sink admission + packet shape, A2 kv_text
+write/read round trip."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.sources.registry import DEFAULT as SOURCES
+from etl_work_flow_for_big_data_spark.sources.registry import write_kv_text
+from etl_work_flow_for_big_data_spark.streaming.logsink import (
+    build_log_packets,
+    log_table_writer,
+)
+from etl_work_flow_for_big_data_spark.streaming.stateful import running_totals_per_key
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_chunk(path, rows):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"chunk_{time.time_ns()}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stateful_running_totals_survive_restart(spark, tmp_path):
+    """Per-key state (the session-plugin state analog,
+    MFramework.cpp:749-773) persists across query RESTARTS through the
+    checkpoint — the FWorkCheckpoint recovery semantics."""
+    indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    _write_chunk(
+        indir,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:01", "user_id": 1, "event_type": "a", "value": 10.0},
+            {"event_id": 2, "ts": "2024-01-01 00:00:02", "user_id": 1, "event_type": "a", "value": 5.0},
+            {"event_id": 3, "ts": "2024-01-01 00:00:03", "user_id": 2, "event_type": "a", "value": 1.0},
+        ],
+    )
+
+    outdir = tmp_path / "out"
+
+    def run(run_id):
+        stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+
+        def write(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                str(outdir / f"run={run_id}" / f"batch={batch_id}")
+            )
+
+        q = (
+            running_totals_per_key(stream)
+            .writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(1)
+    got1 = {
+        r["user_id"]: (r["total_events"], r["total_value"])
+        for r in spark.read.parquet(str(outdir / "run=1")).collect()
+    }
+    assert got1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # restart with new data: totals CONTINUE from checkpointed state
+    _write_chunk(
+        indir,
+        [
+            {"event_id": 4, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "a", "value": 2.5},
+            {"event_id": 5, "ts": "2024-01-01 00:01:01", "user_id": 3, "event_type": "a", "value": 7.0},
+        ],
+    )
+    run(2)
+    got2 = {
+        r["user_id"]: (r["total_events"], r["total_value"])
+        for r in spark.read.parquet(str(outdir / "run=2")).collect()
+    }
+    assert got2[1] == (3, 17.5)  # 2 prior events + 1 new, state restored
+    assert got2[3] == (1, 7.0)  # new key starts fresh
+    assert 2 not in got2  # update mode: unchanged keys not re-emitted
+
+
+def test_log_sink_admission_and_shape(spark, tmp_path):
+    records = spark.createDataFrame(
+        [
+            (1, 7, "boot ok", "2024-01-01 00:00:00"),
+            (16, 7, "fetch failed", "2024-01-01 00:00:01"),
+            (32, 8, "page the operator", "2024-01-01 00:00:02"),  # alert: masked out
+        ],
+        "level int, session int, message string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    packets = build_log_packets(records, component="Collector")
+    rows = {r["m"]: r for r in packets.collect()}
+    # alert (32) dropped by the default mask 31 (LoggerWriter.cpp:178)
+    assert len(rows) == 2
+    m_info = "2024-01-01 00:00:00|7|boot ok"
+    assert rows[m_info]["s"] == "1"
+    assert rows[m_info]["c"] == "Collector"
+    assert rows[m_info]["l"] == "I"
+    assert rows["2024-01-01 00:00:01|7|fetch failed"]["l"] == "E"
+    # sink writes partitioned by level letter
+    log_table_writer(str(tmp_path / "logs"))(packets, 0)
+    back = spark.read.parquet(str(tmp_path / "logs"))
+    assert sorted(r["l"] for r in back.collect()) == ["E", "I"]
+
+
+def test_kv_text_write_read_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [({"s": "1", "t": "rating", "x": "a=b"},), ({"s": "2", "f": "in.cdr"},)],
+        "attrs map<string,string>",
+    )
+    out = str(tmp_path / "wire")
+    write_kv_text(df, out)
+    back = SOURCES.read(spark, "kv_text", out)
+    got = {r["s"]: r for r in back.collect()}
+    assert got[1]["t"] == "rating" and got[1]["attrs"]["x"] == "a=b"
+    assert got[2]["f"] == "in.cdr"
