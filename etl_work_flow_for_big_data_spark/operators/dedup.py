@@ -162,6 +162,17 @@ def minhash_lsh_pairs(
     )
 
 
+def apply_near_dedup(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Apply near-dup pairs to the corpus: greedy keep-lowest-id —
+    every doc appearing as the higher id (d2) of a pair is dropped.
+    One anti-join; not transitive-closure-exact (a→b, b→c keeps c if
+    (a,c) wasn't itself a pair), which is the standard large-scale
+    trade: connected components need iterative joins, greedy needs one.
+    """
+    drop = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc 16-bit SimHash over distinct tokens. Equal values are
     near-dup candidates (constant-size state per doc; the cheapest

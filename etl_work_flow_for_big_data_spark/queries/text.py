@@ -292,3 +292,73 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "simhash"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS INT) + 1 END AS n_chunks
+          FROM t)
+    SELECT doc_id,
+           CAST(c AS INT)                                        AS chunk_idx,
+           array_to_string(toks[c*24 + 1 : c*24 + 32], ' ')      AS chunk_text,
+           CAST(len(toks[c*24 + 1 : c*24 + 32]) AS INT)          AS n_chunk_tokens
+    FROM n, unnest(range(0, n_chunks)) AS u(c)
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="I4 document chunking for training pipelines: 32-token windows "
+    "with 8-token overlap (stride 24), one output row per chunk — "
+    "narrow explode, no shuffle",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 32, 1).otherwise(
+        F.ceil((n - 32) / F.lit(24.0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, c * 24 + 1, 32), " ").alias("chunk_text"),
+            F.size(F.slice(toks, c * 24 + 1, 32)).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "dedup_apply",
+    f"""
+    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+         n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+               FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         dups AS (SELECT DISTINCT d2 FROM p
+                  JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+                  WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5)
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dups)
+    ORDER BY doc_id
+    """,
+    doc="I2 dedup application: greedy keep-lowest-id over near-dup "
+    "pairs (one anti-join; the transitive-closure variant needs "
+    "iterative joins and is deliberately not the default at scale)",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    return apply_near_dedup(d, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")

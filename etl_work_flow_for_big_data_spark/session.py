@@ -23,6 +23,11 @@ _BUILDER_CONF = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.ui.enabled": "false",
+    # saveAsTable target for bucketed tables (static conf; kept out of
+    # the repo tree)
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"
+    ),
 }
 
 #: Runtime configs — safe to set on ANY session, including the
