@@ -182,3 +182,39 @@ def test_supervisor_restarts_dead_query(manager):
     # a stopped-on-purpose pipeline is NOT restarted
     manager.stop("p1")
     assert manager.check_once() == []
+
+
+def test_spec_compiled_kv_stream_end_to_end(spark, tmp_path):
+    """The reference's full data path as one pipeline: protocol fetch →
+    landing zone → kv_text stream → spec-compiled parse/validate/route
+    chain → checkpointed routed fan-out (SURVEY §3.2)."""
+    import etl_work_flow_for_big_data_spark.operators.transforms  # noqa: F401
+    from etl_work_flow_for_big_data_spark.plans.spec import PipelineSpec
+    from etl_work_flow_for_big_data_spark.streaming.sinks import start_routed_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = tmp_path / "network_element.cdr"
+    src.write_text("s=7|t=rating|f=a.cdr\ns=8|t=billing|f=b.cdr\nt=orphan\ns=9|f=d.cdr\n")
+    SOURCES.fetch("local", str(src), str(landing / "ne.cdr"))
+
+    spec = PipelineSpec.from_rows(
+        "mediation",
+        [
+            {"session_id": 1, "operator_name": "parse_packets", "next_session_id": 2},
+            {"session_id": 2, "operator_name": "filter_valid", "params": {"required": "s"}, "next_session_id": 3},
+            {"session_id": 3, "operator_name": "route_by", "params": {"key": "t"}, "next_session_id": None},
+        ],
+    )
+    stream = SOURCES.read_stream(spark, "kv_text", str(landing), None)
+    q = start_routed_stream(
+        spec.compile(stream).drop("attrs"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        "route",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).select("s", "route").collect()
+    got = sorted((r["s"], r["route"]) for r in out)
+    # orphan (no 's') dropped; routeless packet → dead-letter
+    assert got == [(7, "rating"), (8, "billing"), (9, "dead-letter")]
