@@ -184,3 +184,73 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         F.col(id_col).alias("id"),
         F.expr(simhash16_expr(toks_sql)).cast("int").alias("simhash"),
     )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every node's label starts as its own id; each round,
+    a node adopts the smallest label among itself and its neighbors;
+    converged when no label changes. Diameter-bounded iterations
+    (near-dup clusters are shallow, so a handful of rounds suffices;
+    ``max_iters`` is the safety cap, and non-convergence raises).
+
+    This is the transitive-closure-exact alternative to greedy
+    apply_near_dedup — each round is two equi-join shuffles, so cost =
+    O(diameter × |edges|). Returns (id, component) where component is
+    the min id in the node's component.
+
+    Iterative algorithms can't be a single SQL statement — registered
+    rows-only for the driver (the oracle-checked greedy variant covers
+    the SQL-expressible path).
+    """
+    n_parts = max(2, pairs.sparkSession.sparkContext.defaultParallelism // 8)
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .repartition(n_parts, "b")
+        .localCheckpoint(eager=True)  # truncate lineage once up front
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("n_min"))
+        )
+        # eager localCheckpoint every round: iterative joins otherwise
+        # grow the lineage linearly and the planner blows up past ~10
+        # rounds; checkpointing makes each round O(1) plan size
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .repartition(n_parts, "id")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+        )
+    return labels

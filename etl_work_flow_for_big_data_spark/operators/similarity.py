@@ -122,3 +122,77 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (deterministic centroid set: the first ``n_centroids`` ids — a
+    k-means iteration would refine them; assignment logic is
+    identical), then answer each query from its own cluster only.
+
+    Scale shape: centroid assignment is one kernel pass (O(n·c));
+    search is an equi-join on cluster id, scoring O(n·q/c) in
+    expectation — the inverted-file trade. Deterministic end-to-end:
+    ties in assignment break on centroid id, ranking on rounded cosine
+    + candidate id.
+    Returns (q_vec_id, rank, c_vec_id, cos_sim).
+    """
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    centroids = [
+        (r[0], list(r[1]))
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    scored = pairwise_cosine(df, id_col, vec_col, centroids, mode="all")
+    w_assign = Window.partitionBy("d1").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("d2")
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
+    )
+    # centroids themselves: nearest non-self centroid wins above, but a
+    # centroid belongs to its own cluster by definition
+    assigned = assigned.withColumn(
+        "cluster",
+        F.when(F.col(id_col) < n_centroids, F.col(id_col)).otherwise(
+            F.col("cluster")
+        ),
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    q = (
+        vecs.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("q_vec_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("cluster"),
+        )
+    )
+    c = vecs.select(
+        F.col(id_col).alias("c_vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cluster"),
+    )
+    from etl_work_flow_for_big_data_spark.functions.vectors import cosine
+
+    pairs = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
+    )

@@ -115,3 +115,45 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5
     ).orderBy("q_vec_id", "rank")
+
+
+@query(
+    "sim_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_duck_cos('e.embedding', 'c.cvec')}, 6) DESC, c.cid
+             ) AS rn
+      FROM embeddings e JOIN cent c ON e.vec_id <> c.cid
+    ),
+    asg AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id < 16 THEN vec_id ELSE cid END AS cluster
+      FROM a WHERE rn = 1
+    )
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                      AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)  AS cos_sim
+    FROM (SELECT * FROM asg WHERE vec_id IN (16, 17, 18, 19, 20)) q
+    JOIN asg c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+    QUALIFY rank <= 5
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 IVF-style ANN: nearest-centroid assignment (deterministic "
+    "centroid set = first 16 ids) then search within the query's "
+    "cluster only — the inverted-file scale path next to LSH",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16, k=5
+    ).orderBy("q_vec_id", "rank")

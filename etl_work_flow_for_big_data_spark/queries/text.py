@@ -362,3 +362,20 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_near_dedup(d, pairs, "doc_id").select(
         "doc_id", "lang", "source"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_components",
+    None,  # iterative label propagation — not single-statement SQL;
+    # transitive-exactness pinned by tests/test_dedup_components.py
+    doc="I2 transitive near-dup clusters: connected components over "
+    "n-gram Jaccard pairs via iterative min-label propagation "
+    "(O(diameter) rounds of equi-joins). Rows-only driver check; the "
+    "greedy single-join variant (dedup_apply) is the oracle-checked twin.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    return connected_components(pairs).orderBy("id")

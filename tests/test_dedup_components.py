@@ -1,0 +1,77 @@
+"""Connected-components dedup: transitive exactness on known graphs
+(the rows-only counterpart check for the dedup_components query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_work_flow_for_big_data_spark.operators.dedup import connected_components
+
+
+def _cc(spark, edges, **kw):
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {
+        r["id"]: r["component"] for r in connected_components(pairs, **kw).collect()
+    }
+
+
+def test_chain_collapses_transitively(spark):
+    # 1-2, 2-3, 3-4: greedy would keep 3 (only d2s dropped); CC labels
+    # the whole chain with min id 1
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (5, 6), (6, 9), (20, 30)])
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 9: 5, 20: 20, 30: 20}
+
+
+def test_star_and_cycle(spark):
+    got = _cc(spark, [(10, 2), (10, 3), (10, 4), (2, 3), (3, 4), (4, 2)])
+    assert set(got.values()) == {2}
+    assert got[10] == 2
+
+
+def test_long_chain_needs_iterations(spark):
+    # label of the far end must propagate the full diameter
+    edges = [(i, i + 1) for i in range(0, 12)]
+    got = _cc(spark, edges, max_iters=15)
+    assert set(got.values()) == {0}
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(0, 12)]
+    with pytest.raises(RuntimeError, match="converge"):
+        _cc(spark, edges, max_iters=2)
+
+
+def test_against_fixture_pairs(spark, sf_dir):
+    """On the documents fixture: every component label is the min doc_id
+    of its member set, and components cover exactly the paired docs."""
+    from etl_work_flow_for_big_data_spark.catalog import load_table
+    from etl_work_flow_for_big_data_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    pair_rows = [(r["d1"], r["d2"]) for r in pairs.collect()]
+    labels = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    nodes = {x for p in pair_rows for x in p}
+    assert set(labels) == nodes
+    # union-find ground truth in python
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in nodes}
+    assert labels == truth
