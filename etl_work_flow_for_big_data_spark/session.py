@@ -47,6 +47,11 @@ _RUNTIME_CONF = {
     # Broadcast all the TPC-H-ish dims without hinting; explicit
     # broadcast() hints are still used on every dim join.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Right-size shuffles for the local harness (a driver-owned session
+    # defaults to 200 — pure scheduling overhead at these SFs); AQE
+    # coalescing still shrinks further at runtime. On a real cluster
+    # the launcher overrides this to ~2-3x total cores.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 

@@ -218,3 +218,54 @@ def test_spec_compiled_kv_stream_end_to_end(spark, tmp_path):
     got = sorted((r["s"], r["route"]) for r in out)
     # orphan (no 's') dropped; routeless packet → dead-letter
     assert got == [(7, "rating"), (8, "billing"), (9, "dead-letter")]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """G7-adjacent: stream-stream equi-join with an event-time interval
+    bound and watermarks on both sides — the streaming twin of the
+    as-of enrichment (purchase joined to the signup that preceded it
+    within 1 hour). State on both sides is bounded by the watermark."""
+    indir = tmp_path / "in"
+    _write_events_json(
+        indir,
+        [
+            {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "signup", "value": 0.0},
+            {"event_id": 2, "ts": "2024-01-01 00:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+            # signup too old for the 1h bound
+            {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "signup", "value": 0.0},
+            {"event_id": 4, "ts": "2024-01-01 02:00:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+            # purchase with no signup at all
+            {"event_id": 5, "ts": "2024-01-01 00:40:00", "user_id": 3, "event_type": "purchase", "value": 7.0},
+        ],
+    )
+    stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withColumnRenamed("ts", "p_ts")
+        .withWatermark("p_ts", "2 hours")
+    )
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts"))
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("event_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM ss_join").collect()
+    )
+    # only purchase 2 has a signup within the hour
+    assert got == [2]
