@@ -42,13 +42,27 @@ def bpe_ish_tokens(text: Column, pattern: str = "[a-z]+|[0-9]+") -> Column:
 
 
 def shingles(text: Column, k: int = 5) -> Column:
-    """Distinct word k-gram shingles (space-joined)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    """Distinct word k-gram shingles (space-joined).
+
+    The token array is bound ONCE as a lambda variable (via a 1-element
+    array transform): naively referencing ``tokens(text)`` in the size
+    bound and the slice source makes Catalyst re-tokenize per shingle —
+    no common-subexpression elimination across lambda bodies — measured
+    5× slower on the dedup family at sf0.1."""
+
+    def build(t: Column) -> Column:
+        # guard: fewer than k tokens → NO shingles. (sequence(1, n-k+1)
+        # with n<k counts DOWN in Spark — [1, 0] — and slice(start=0)
+        # throws; the naive greatest(...,0) bound had this latent crash)
+        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        return F.when(
+            F.size(t) >= k,
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), build), 1)
 
 
 def hash_hex(col: Column, prefix: str = "") -> Column:

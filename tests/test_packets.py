@@ -145,3 +145,23 @@ class TestLogLevels:
         )
         got = {r["lvl"]: r["ok"] for r in rows}
         assert got == {1: True, 2: True, 4: True, 8: True, 16: True, 32: False, 64: False}
+
+
+class TestShingleEdges:
+    """Short-document shingle semantics (regression: docs with < k
+    tokens used to hit Spark's descending sequence + slice(0) crash)."""
+
+    def test_short_docs_yield_empty(self, spark):
+        from etl_work_flow_for_big_data_spark.functions.text import shingles
+
+        edge = spark.createDataFrame(
+            [("a b",), ("a b c d e",), ("a b c d e f",), ("",), ("   ",)],
+            "text string",
+        )
+        rows = edge.select("text", shingles(F.col("text"), 5).alias("s")).collect()
+        got = {r["text"]: list(r["s"]) for r in rows}
+        assert got["a b"] == []
+        assert got[""] == []
+        assert got["   "] == []
+        assert got["a b c d e"] == ["a b c d e"]
+        assert got["a b c d e f"] == ["a b c d e", "b c d e f"]
