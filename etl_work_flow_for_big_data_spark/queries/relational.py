@@ -851,3 +851,97 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --------------------------------------------------------------------
+# Reshaping + null-handling operators (D/E adjuncts): pivot, unpivot,
+# coalesce/nullif/fill — the remaining everyday analytical surface.
+# --------------------------------------------------------------------
+
+
+@query(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="pivot: status values → columns (Spark groupBy().pivot() with an "
+    "explicit value list — never let pivot scan for distinct values at "
+    "scale); oracle uses FILTER aggregation",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_unpivot",
+    """
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag,
+             'sum_qty'   AS metric, ROUND(SUM(l_quantity), 2)      AS val
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag,
+             'sum_price' AS metric, ROUND(SUM(l_extendedprice), 2) AS val
+      FROM lineitem GROUP BY l_returnflag
+    )
+    ORDER BY l_returnflag, metric
+    """,
+    doc="unpivot/melt: metric columns → rows (Spark df.unpivot; oracle "
+    "via UNION ALL)",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "null_handling",
+    """
+    SELECT event_id,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a')            AS type_or_na,
+           COALESCE(CASE WHEN value >= 50 THEN value END, 0.0)     AS value_floor,
+           CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END
+                                                                   AS was_error
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="null semantics: nullif/coalesce/conditional defaulting — the "
+    "engine's na.fill/na.drop surface expressed as expressions",
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nulled = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        F.coalesce(nulled, F.lit("n/a")).alias("type_or_na"),
+        F.coalesce(
+            F.when(F.col("value") >= 50, F.col("value")), F.lit(0.0)
+        ).alias("value_floor"),
+        F.when(nulled.isNull(), 1).otherwise(0).alias("was_error"),
+    ).orderBy("event_id")
