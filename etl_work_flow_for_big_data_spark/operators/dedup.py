@@ -130,6 +130,11 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             shingles(F.col(text_col), k).alias("sh"),
         )
+        # docs with no shingles (< k tokens) can never clear the Jaccard
+        # threshold, but their all-null signatures collapse to identical
+        # band keys — dropping them here avoids an O(shorts²) candidate
+        # blowup on corpora with many tiny documents
+        .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
         .persist()
     )
