@@ -43,6 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    from etl_work_flow_for_big_data_spark.session import tune_session
+
+    # self-tune: reading TIMESTAMP(NANOS) parquet needs the legacy conf
+    # even when the caller brought an untuned (driver-owned) session
+    tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

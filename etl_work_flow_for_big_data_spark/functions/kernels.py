@@ -72,6 +72,10 @@ def pairwise_cosine(
     """
     if mode not in ("pairs", "all"):
         raise ValueError(f"mode must be pairs|all, got {mode!r}")
+    if not corpus:
+        # empty query/centroid set → empty result, not a numpy shape error
+        spark = df.sparkSession
+        return spark.createDataFrame([], "d1 long, d2 long, cos_raw double")
     corpus_ids = np.array([c[0] for c in corpus], dtype=np.int64)
     corpus_mat = np.array([c[1] for c in corpus], dtype=np.float64)
     corpus_norms = _fold_norm_sq(corpus_mat)

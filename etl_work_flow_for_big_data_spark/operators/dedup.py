@@ -120,7 +120,18 @@ def minhash_lsh_pairs(
     on their shingle sets. Deterministic md5-based hash family — the
     same candidates arise in any engine that mirrors the formula.
     Returns (d1, d2, jaccard) with d1 < d2, jaccard ≥ threshold.
+
+    Note: the signature table is persisted and released only by the
+    JVM ContextCleaner once the returned plan is garbage-collected;
+    long-lived sessions running many dedups should spark.catalog
+    .clearCache() between batches if storage memory is tight.
     """
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into n_bands "
+            f"({n_bands}); degenerate banding silently destroys the "
+            "sub-quadratic candidate bound"
+        )
     rows_per_band = n_hashes // n_bands
     # persist: the signature table is referenced three times (banding +
     # both sides of the verify join); without it Spark recomputes the

@@ -30,8 +30,15 @@ def salted_join(
     key's rows spread over n_salts reducers instead of one. The small
     side's explosion is the price — keep it dim-sized or broadcast.
 
-    Result is identical to a plain join (salt columns are dropped).
+    Result is identical to a plain join (salt columns are dropped) for
+    inner/left/semi/anti joins; right/full outer would duplicate
+    unmatched small-side rows once per salt, so they're rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r} "
+            "(right/full would emit unmatched small-side rows n_salts times)"
+        )
     if "__salt" in skewed.columns or "__salt" in small.columns:
         raise ValueError("input already has a __salt column; rename it first")
     salted_fact = skewed.withColumn(

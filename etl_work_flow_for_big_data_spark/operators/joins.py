@@ -37,6 +37,12 @@ def asof_join(
     payload = [c for c in right.columns if c not in keys and c != right_time]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right payload columns collide with left columns: "
+            f"{sorted(collisions)}; rename the right side before asof_join"
+        )
 
     l_tagged = left.withColumn("__t", F.col(left_time)).withColumn(
         "__is_right", F.lit(0)
@@ -69,11 +75,13 @@ def asof_join(
         )
         carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in payload]
 
-    out_cols = [c for c in left.columns] + carried
+    # select the carried payload BY NAME after the window pass —
+    # re-selecting the window Column objects would plan a second
+    # Window+Sort over the filtered output
     return (
         unioned.select(*[c for c in unioned.columns if c not in payload], *carried)
         .filter(F.col("__is_right") == 0)
-        .select(*out_cols)
+        .select(*left.columns, *payload)
     )
 
 
@@ -104,6 +112,9 @@ def range_join(
         return fact.join(F.broadcast(tiers), cond, "inner")
 
     rows = tiers.collect()  # tier table is dim-sized by contract
+    if not rows:
+        # empty tariff → empty inner-join result with the joined schema
+        return fact.filter(F.lit(False)).crossJoin(tiers)
     expr = None
     for i, r in enumerate(rows):
         hit = (F.col(value_col) >= F.lit(r[lo_col])) & (

@@ -149,9 +149,17 @@ def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str =
     separator substituted with ``sep``."""
     from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
 
-    out = df.select(
-        F.translate(serialize_map(F.col(attrs_col)), "\n", sep).alias("value")
-    )
+    wire = serialize_map(F.col(attrs_col))
+    # the separator must not occur inside any value — after translate()
+    # it would be indistinguishable from an entry boundary and the
+    # round-trip would silently split the value. Fail loudly instead.
+    clash = df.filter(F.instr(wire, sep) > 0).limit(1).count()
+    if clash:
+        raise ValueError(
+            f"separator {sep!r} occurs inside a packet value; pick a "
+            "sep absent from the data (write_kv_text(..., sep=...))"
+        )
+    out = df.select(F.translate(wire, "\n", sep).alias("value"))
     out.write.mode("overwrite").text(path)
 
 

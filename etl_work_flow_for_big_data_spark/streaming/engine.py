@@ -70,6 +70,10 @@ class PipelineManager:
         with self._lock:
             reg = self._get(name)
             if reg.query is not None and reg.query.isActive:
+                # still record intent: a restart whose old query outlived
+                # the stop timeout must stay supervised (the monitor
+                # restarts it when the straggler finally dies)
+                reg.desired_running = True
                 return False
             reg.query = reg.builder(self._spark)
             reg.desired_running = True
