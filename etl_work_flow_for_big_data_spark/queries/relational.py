@@ -945,3 +945,39 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_floor"),
         F.when(nulled.isNull(), 1).otherwise(0).alias("was_error"),
     ).orderBy("event_id")
+
+
+@query(
+    "agg_approx_quantile",
+    """
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS exact_p50,
+           TRUE                                     AS approx_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="D6 approximate percentile (percentile_approx — mergeable "
+    "sketch, the streaming/100-TB variant of exact percentile). Sketch "
+    "values aren't engine-portable, so the oracle checks the estimate "
+    "lands within 2% of the exact interpolated quantile.",
+)
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("exact_p50"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                / F.col("exact_p50")
+                < 0.02
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

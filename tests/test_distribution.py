@@ -76,3 +76,29 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     n_err = back.count()
     n_all = spark.read.parquet(path).count()
     assert 0 < n_err < n_all
+
+def test_salted_join_hot_key_equivalence(spark):
+    """Pathological skew: one key holds 90% of the fact. Salting must
+    agree with the plain join exactly while spreading the hot key."""
+    from pyspark.sql import Row
+
+    hot = [Row(k=1, v=i) for i in range(9000)]
+    cold = [Row(k=i % 50 + 2, v=i) for i in range(1000)]
+    fact = spark.createDataFrame(hot + cold)
+    dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(1, 52)])
+    plain = (
+        fact.join(dim, "k").groupBy("name").count().collect()
+    )
+    salted = (
+        salted_join(fact, dim, "k", n_salts=8).groupBy("name").count().collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    # the hot key's rows really spread across salts
+    spread = (
+        fact.filter(F.col("k") == 1)
+        .withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8

@@ -269,3 +269,32 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     # only purchase 2 has a signup within the hour
     assert got == [2]
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path, sf_dir):
+    """C1 in streaming: a micro-batch stream broadcast-joined to a
+    static dimension — the per-packet session-map lookup shape."""
+    from etl_work_flow_for_big_data_spark.catalog import load_table
+
+    indir = tmp_path / "in"
+    _write_events_json(indir, _BASE)
+    dim = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 2)
+    stream = SOURCES.read_stream(spark, "json", str(indir), EVENTS_SCHEMA)
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.n_nationkey, "left"
+    ).select("event_id", "n_name")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["n_name"]
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    # user_id 1 and 2 match dim keys; others null (left join)
+    assert got[1] is not None and got[3] is not None
+    assert len(got) == 4
