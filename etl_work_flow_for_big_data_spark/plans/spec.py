@@ -44,6 +44,31 @@ class PipelineSpec:
     stages: list[Stage]
 
     @classmethod
+    def from_dataframe(cls, name: str, df: DataFrame) -> "PipelineSpec":
+        """Load the topology from a relational table — the literal
+        M_SESSION/M_LINKED_SESSIONS pattern (the reference reads its
+        pipeline graph from Oracle, MFramework.cpp:938-1014; here any
+        DataFrame with the ``pipeline_spec`` schema of FIXTURES.md §B
+        works: jdbc, parquet, csv...). Params may be a JSON string
+        column ``params``."""
+        import json
+
+        rows = []
+        for r in df.collect():  # topology tables are tiny by definition
+            d = r.asDict()
+            if isinstance(d.get("params"), str):
+                try:
+                    d["params"] = json.loads(d["params"]) if d["params"] else {}
+                except json.JSONDecodeError as exc:
+                    raise ValueError(
+                        f"pipeline {name}: session_id "
+                        f"{d.get('session_id')} has invalid params JSON: "
+                        f"{d['params']!r}"
+                    ) from exc
+            rows.append(d)
+        return cls.from_rows(name, rows)
+
+    @classmethod
     def from_rows(cls, name: str, rows: list[dict[str, Any]]) -> "PipelineSpec":
         """Build from session-table-shaped dicts (keys: session_id,
         operator_name, session_name, params?, next_session_id,

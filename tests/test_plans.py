@@ -117,3 +117,23 @@ def test_compile_is_lazy(spark):
     spec.compile(spark.range(5), registry=reg)
     # operator ran (plan built) but nothing executed — no action called
     assert calls == [1]
+
+
+def test_spec_from_dataframe(spark):
+    """Topology-as-data loaded from a relational table (the M_SESSION /
+    M_LINKED_SESSIONS pattern, MFramework.cpp:938-1014)."""
+    topo = spark.createDataFrame(
+        [
+            (1, "parse_packets", "reader", None, 2, None),
+            (2, "filter_valid", "validator", '{"required": "s"}', 3, None),
+            (3, "route_by", "router", '{"key": "t"}', None, "rating"),
+        ],
+        "session_id long, operator_name string, session_name string, "
+        "params string, next_session_id long, next_component_type string",
+    )
+    spec = PipelineSpec.from_dataframe("mediation", topo)
+    assert [s.session_id for s in spec.ordered()] == [1, 2, 3]
+    assert spec.route == "rating"
+    df = spark.createDataFrame([("s=5\nt=x\n",), ("junk",)], "payload string")
+    out = spec.compile(df).select("s", "route").collect()
+    assert [(r["s"], r["route"]) for r in out] == [(5, "x")]

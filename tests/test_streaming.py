@@ -298,3 +298,42 @@ def test_stream_static_dim_enrichment(spark, tmp_path, sf_dir):
     # user_id 1 and 2 match dim keys; others null (left join)
     assert got[1] is not None and got[3] is not None
     assert len(got) == 4
+
+
+def test_two_component_chained_topology(spark, tmp_path):
+    """The reference's multi-component wiring: component A routes
+    packets by 't' onto per-route queues; component B consumes A's
+    'rating' route as its own input (M_LINKED_SESSIONS across
+    components). Here the queue between components is the routed
+    parquet layout; B streams from A's output directory."""
+    import etl_work_flow_for_big_data_spark.operators.transforms  # noqa: F401
+    from etl_work_flow_for_big_data_spark.plans.spec import PipelineSpec
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "in.cdr").write_text(
+        "s=1|t=rating|v=100\ns=2|t=billing|v=50\ns=3|t=rating|v=70\n"
+    )
+
+    # component A: mediation (parse -> validate -> route) -> routed dirs
+    spec_a = PipelineSpec.from_rows(
+        "collector",
+        [
+            {"session_id": 1, "operator_name": "parse_packets", "next_session_id": 2},
+            {"session_id": 2, "operator_name": "filter_valid", "params": {"required": "s"}, "next_session_id": 3},
+            {"session_id": 3, "operator_name": "route_by", "params": {"key": "t"}, "next_session_id": None},
+        ],
+    )
+    a_out = tmp_path / "a_out"
+    stream_a = SOURCES.read_stream(spark, "kv_text", str(landing), None)
+    routed = spec_a.compile(stream_a).withColumn(
+        "v", F.col("attrs")["v"].cast("long")
+    ).drop("attrs")
+    qa = start_routed_stream(routed, str(a_out), str(tmp_path / "ckpt_a"), "route")
+    qa.awaitTermination(120)
+
+    # component B: rating — consumes ONLY component A's 'rating' route
+    rating_in = spark.read.parquet(str(a_out)).filter(F.col("route") == "rating")
+    charged = rating_in.withColumn("charge", F.col("v") * 2)
+    got = sorted((r["s"], r["charge"]) for r in charged.collect())
+    assert got == [(1, 200), (3, 140)]  # billing packet (s=2) not seen by B
