@@ -981,3 +981,64 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "tpch_q14_promo_share",
+    """
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional-revenue share over a broadcast "
+    "dim join (single global ratio; both aggregates in one pass)",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    SELECT substring(c_name, 17, 2)       AS code,
+           CAST(COUNT(*) AS BIGINT)       AS n_cust,
+           ROUND(SUM(c_acctbal), 2)       AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1
+    ORDER BY code
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (global average) "
+    "+ NOT EXISTS anti-join + substring grouping — customers with "
+    "above-average balance but no recent orders",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT substring(c_name, 17, 2)  AS code,
+               CAST(COUNT(*) AS BIGINT)  AS n_cust,
+               ROUND(SUM(c_acctbal), 2)  AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY 1
+        ORDER BY code
+        """
+    )
