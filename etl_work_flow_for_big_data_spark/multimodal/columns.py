@@ -68,22 +68,29 @@ FEATURE_SCHEMA = "id long, n_bytes long, features array<float>"
 
 def extract_features(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
     """Deterministic fake feature extraction over Arrow batches — the
-    mapInPandas twin of a real embedding model. Features are a stable
-    function of the bytes (length, first byte, last byte, simple
-    checksum) so tests can assert exact values."""
+    mapInPandas twin of a real embedding model. Features are a stable,
+    cross-engine-checkable function of the bytes: byte length plus
+    three 16-bit words of the md5 digest (each < 2^24, so exact in
+    float32). An oracle can recompute every value in pure SQL
+    (octet_length + md5 hex substrings), which lets the driver
+    hash-check this Python stage end-to-end."""
+    import hashlib
+
     src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
     def fake_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                [
-                    float(len(b)),
-                    float(b[0]) if len(b) else 0.0,
-                    float(b[-1]) if len(b) else 0.0,
-                    float(sum(b[:16]) % 997),
-                ]
-                for b in pdf["content"]
-            ]
+            feats = []
+            for b in pdf["content"]:
+                h = hashlib.md5(bytes(b)).hexdigest()
+                feats.append(
+                    [
+                        float(len(b)),
+                        float(int(h[0:4], 16)),
+                        float(int(h[4:8], 16)),
+                        float(int(h[8:12], 16)),
+                    ]
+                )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],

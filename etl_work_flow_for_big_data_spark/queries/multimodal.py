@@ -17,6 +17,7 @@ from etl_work_flow_for_big_data_spark.catalog import load_table
 from etl_work_flow_for_big_data_spark.multimodal.columns import (
     attach_binary,
     extract_features,
+    sample_frames,
 )
 from etl_work_flow_for_big_data_spark.queries import query
 
@@ -49,12 +50,63 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_features",
-    None,  # mapInPandas (Python stage) — rows-only driver check; exact
-    # values pinned by tests/test_multimodal.py
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+           CAST(CAST('0x' || substring(md5(text), 1, 4) AS INT) AS DOUBLE) AS f1,
+           CAST(CAST('0x' || substring(md5(text), 5, 4) AS INT) AS DOUBLE) AS f2,
+           CAST(CAST('0x' || substring(md5(text), 9, 4) AS INT) AS DOUBLE) AS f3
+    FROM documents
+    ORDER BY doc_id
+    """,
     doc="I5 feature extraction over Arrow batches (mapInPandas) with a "
-    "deterministic fake decoder — the real-decoder slot for "
-    "image/audio embedding models",
+    "deterministic fake decoder — the real-decoder slot for image/audio "
+    "embedding models. The query projects the feature vector to scalar "
+    "doubles (driver canonicalizer can't sort array columns); the md5 "
+    "feature family makes the Python stage fully hash-oracle-checkable. "
+    "Library callers get the raw array<float> from extract_features.",
 )
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary(load_table(spark, sf_dir, "documents"), "text")
-    return extract_features(d, "doc_id").orderBy("id")
+    feats = extract_features(d, "doc_id")
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.element_at("features", 1).cast("double").alias("f0"),
+        F.element_at("features", 2).cast("double").alias("f1"),
+        F.element_at("features", 3).cast("double").alias("f2"),
+        F.element_at("features", 4).cast("double").alias("f3"),
+    ).orderBy("id")
+
+
+@query(
+    "mm_frames",
+    """
+    SELECT doc_id AS id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(octet_length(encode(substring(text, CAST(k*64+1 AS BIGINT), 64)))
+                AS BIGINT)                                        AS n_frame_bytes,
+           md5(substring(text, CAST(k*64+1 AS BIGINT), 64))       AS frame_hash
+    FROM documents,
+         unnest(generate_series(
+             0,
+             GREATEST(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1) - 1
+         )) AS t(k)
+    ORDER BY id, frame_idx
+    """,
+    doc="I5 frame sampling (video-decode twin): 1-to-N mapInPandas over "
+    "Arrow batches, one row per 64-byte 'frame'; projected to "
+    "length+md5 so the Python stage is hash-oracle-checked. The oracle "
+    "slices characters — byte-identical because the fixture corpus is "
+    "ASCII; a real video payload has no SQL oracle (rows-only).",
+)
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary(load_table(spark, sf_dir, "documents"), "text")
+    frames = sample_frames(d, "doc_id", stride=64)
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("bigint").alias("n_frame_bytes"),
+        F.md5("frame_bytes").alias("frame_hash"),
+    ).orderBy("id", "frame_idx")

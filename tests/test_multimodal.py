@@ -32,10 +32,17 @@ def test_metadata_struct(media):
 
 
 def test_extract_features_deterministic(media):
+    import hashlib
+
     rows = {r["id"]: r for r in extract_features(media, "doc_id").collect()}
-    # [len, first byte, last byte, sum(first 16 bytes) % 997]
-    assert rows[1]["features"] == [11.0, float(ord("h")), float(ord("d")),
-                                   float(sum(b"hello world") % 997)]
+    # [len, md5 hex words 0:4, 4:8, 8:12] — SQL-recomputable (oracle)
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert rows[1]["features"] == [
+        11.0,
+        float(int(h[0:4], 16)),
+        float(int(h[4:8], 16)),
+        float(int(h[8:12], 16)),
+    ]
     assert rows[2]["n_bytes"] == 130
     # schema contract: array<float>
     feats_field = extract_features(media, "doc_id").schema["features"]
