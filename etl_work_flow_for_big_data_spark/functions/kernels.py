@@ -93,6 +93,12 @@ def pairwise_cosine(
                 keep = ids[:, None] < corpus_ids[None, :]
             else:
                 keep = ids[:, None] != corpus_ids[None, :]
+            # zero-norm vectors have undefined cosine (0/0 → NaN);
+            # they are EXCLUDED from pairing by contract, explicitly —
+            # Arrow would otherwise coerce the NaN to NULL on transfer
+            # (pandas NaN == missing), silently diverging from what the
+            # expression path produces. One rule, every path.
+            keep &= ~np.isnan(cos)
             if prefilter is not None:
                 keep &= cos >= prefilter
             r, c = np.nonzero(keep)

@@ -8,8 +8,10 @@ Scale design:
   candidate table — a BroadcastNestedLoopJoin where the streamed side
   is the big table, scanned once, no shuffle of candidates. Linear in
   candidates × queries; right whenever |queries| is dim-table-sized.
-- **cosine_pairs**: O(n²) self-join — the exact baseline; cap the
-  input or switch to LSH beyond ~10⁵ vectors.
+- **cosine_pairs**: O(n²) all-pairs — the exact baseline. Driver
+  memory is bounded via corpus blocking (collect one hash block at a
+  time, stream the table against each); switch to LSH when the n²
+  compute itself is the problem.
 - **ann_lsh_topk**: hyperplane-LSH bucket equi-join; each query only
   scores candidates in its bucket. Shuffle O(n), score O(n²/2^planes)
   in expectation. Recall tunable via n_planes / multi-probe.
@@ -65,22 +67,54 @@ def topk_cosine(
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_size: int = 65536,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact O(n²) baseline).
 
-    One side is collected as the kernel's corpus matrix (fine up to
-    ~10⁵ vectors — beyond that, block the corpus or switch to
-    ann_lsh_topk); the other streams through Arrow batches. A
-    conservative raw-cosine prefilter inside the kernel keeps the
-    Arrow transfer at result size instead of n² size; the exact
-    rounded filter is applied Spark-side."""
+    Driver memory is bounded at ``block_size`` vectors REGARDLESS of
+    corpus size: the corpus is split into hash blocks
+    (``pmod(id, n_blocks)``); each block in turn is collected as the
+    kernel's broadcast matrix (~block_size × dim × 8 B, ≈32 MiB at the
+    default for 64-dim), the full table streams through the Arrow
+    kernel against it, and the block's scored rows are eagerly
+    ``localCheckpoint``-ed — truncating lineage so the block matrix in
+    the kernel closure is released before the next block is collected.
+    An unordered pair {x, y}, x < y, is produced exactly once: in the
+    block that owns y (the kernel keeps stream_id < corpus_id).
+
+    Compute stays O(n²·dim) split over n/block_size passes — that is
+    the exact-baseline contract; ann_lsh_topk / minhash candidates are
+    the scale path when n² itself is the problem. A conservative
+    raw-cosine prefilter inside the kernel keeps the Arrow transfer at
+    result size instead of n² size; the exact rounded filter is
+    applied Spark-side."""
     from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
 
-    corpus = [(r[0], list(r[1])) for r in df.select(id_col, vec_col).collect()]
-    scored = pairwise_cosine(
-        df, id_col, vec_col, corpus, mode="pairs", prefilter=threshold - 1e-6
-    )
+    n = df.count()
+    n_blocks = max(1, -(-n // block_size))
+    parts = []
+    for b in range(n_blocks):
+        blk = (
+            df
+            if n_blocks == 1
+            else df.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == b)
+        )
+        corpus = [(r[0], list(r[1])) for r in blk.select(id_col, vec_col).collect()]
+        scored = pairwise_cosine(
+            df, id_col, vec_col, corpus, mode="pairs", prefilter=threshold - 1e-6
+        )
+        if n_blocks > 1:
+            # eager materialization per block: the next collect() only
+            # happens after this block's matrix is out of the plan
+            scored = scored.localCheckpoint(eager=True)
+        parts.append(scored)
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionAll(p)
     return (
         scored.withColumn("cos_sim", F.round("cos_raw", 6))
         .filter(F.col("cos_sim") >= threshold)
