@@ -152,14 +152,23 @@ def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str =
     wire = serialize_map(F.col(attrs_col))
     # the separator must not occur inside any value — after translate()
     # it would be indistinguishable from an entry boundary and the
-    # round-trip would silently split the value. Fail loudly instead.
-    clash = df.filter(F.instr(wire, sep) > 0).limit(1).count()
-    if clash:
-        raise ValueError(
-            f"separator {sep!r} occurs inside a packet value; pick a "
-            "sep absent from the data (write_kv_text(..., sep=...))"
-        )
-    out = df.select(F.translate(wire, "\n", sep).alias("value"))
+    # round-trip would silently split the value. Fail loudly, IN-ROW,
+    # inside the same write pass (a filter+count pre-scan would double
+    # the full scan at 100 TB just for a sanity check).
+    guarded = F.when(
+        F.instr(wire, sep) > 0,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"separator {sep!r} occurs inside a packet value; "
+                    "pick a sep absent from the data "
+                    "(write_kv_text(..., sep=...)); offending packet: "
+                ),
+                wire,
+            )
+        ).cast("string"),
+    ).otherwise(F.translate(wire, "\n", sep))
+    out = df.select(guarded.alias("value"))
     out.write.mode("overwrite").text(path)
 
 

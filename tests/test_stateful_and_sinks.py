@@ -121,3 +121,16 @@ def test_kv_text_write_read_roundtrip(spark, tmp_path):
     got = {r["s"]: r for r in back.collect()}
     assert got[1]["t"] == "rating" and got[1]["attrs"]["x"] == "a=b"
     assert got[2]["f"] == "in.cdr"
+
+
+def test_kv_text_write_separator_clash_fails_in_pass(spark, tmp_path):
+    """The separator guard runs IN-ROW inside the write pass (no extra
+    filter+count scan of the output); a value containing the separator
+    aborts the write with a clear message."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [({"s": "has|pipe"},)], "attrs map<string,string>"
+    )
+    with _pytest.raises(Exception, match="separator .* occurs inside"):
+        write_kv_text(bad, str(tmp_path / "bad"))
