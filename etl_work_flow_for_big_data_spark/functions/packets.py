@@ -37,8 +37,14 @@ def packet_entries(payload: Column) -> Column:
     """Parse ``k=value`` wire text into an array<struct<key,value>>,
     preserving duplicates and arrival order (the faithful multimap)."""
     lines = F.split(payload, "\n")
+    # the reference's find-loop consumes only separator-TERMINATED
+    # entries (MFramework.cpp:1234-1243): the final split segment is
+    # either '' (payload ends with the separator) or a trailing partial
+    # entry — dropped either way, matching the reference byte-for-byte.
+    terminated = F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0)))
     valid = F.filter(
-        lines, lambda l: (F.length(l) >= 2) & (F.substring(l, 2, 1) == F.lit("="))
+        terminated,
+        lambda l: (F.length(l) >= 2) & (F.substring(l, 2, 1) == F.lit("=")),
     )
     return F.transform(
         valid,

@@ -115,6 +115,18 @@ def range_join(
     if not rows:
         # empty tariff → empty inner-join result with the joined schema
         return fact.filter(F.lit(False)).crossJoin(tiers)
+    # validate the disjointness the CASE compilation relies on: with
+    # overlapping tiers the first-match CASE would silently assign ONE
+    # tier where inner-join semantics produce a row per match.
+    by_lo = sorted(rows, key=lambda r: (r[lo_col], r[hi_col]))
+    for a, b in zip(by_lo, by_lo[1:]):
+        if b[lo_col] < a[hi_col]:
+            raise ValueError(
+                f"tier ranges overlap: [{a[lo_col]}, {a[hi_col]}) and "
+                f"[{b[lo_col]}, {b[hi_col]}) — overlapping tiers need "
+                "range_join(..., assume_disjoint=False) (one output "
+                "row per matching tier)"
+            )
     expr = None
     for i, r in enumerate(rows):
         hit = (F.col(value_col) >= F.lit(r[lo_col])) & (

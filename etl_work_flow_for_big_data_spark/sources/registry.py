@@ -107,8 +107,16 @@ def _read_kv_text(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.transforms import parse_packets
 
     raw = spark.read.options(**opts).text(path)
-    df = raw.select(F.translate("value", sep, "\n").alias("payload"))
+    df = raw.select(_line_payload(sep))
     return parse_packets(df)
+
+
+def _line_payload(sep: str):
+    """One packet per file line: the line terminator the text reader
+    stripped WAS the final entry's terminator, so restore it — the
+    parser (packet_entries) consumes only terminated entries, exactly
+    like the reference's find-loop (MFramework.cpp:1234-1243)."""
+    return F.concat(F.translate("value", sep, "\n"), F.lit("\n")).alias("payload")
 
 
 def _read_kv_text_stream(spark: SparkSession, path: str, schema, **opts: Any) -> DataFrame:
@@ -116,7 +124,7 @@ def _read_kv_text_stream(spark: SparkSession, path: str, schema, **opts: Any) ->
     from etl_work_flow_for_big_data_spark.operators.transforms import parse_packets
 
     raw = spark.readStream.options(**opts).text(path)
-    df = raw.select(F.translate("value", sep, "\n").alias("payload"))
+    df = raw.select(_line_payload(sep))
     return parse_packets(df)
 
 

@@ -134,6 +134,13 @@ class PipelineManager:
         for name, reg in items:
             if reg.desired_running and (reg.query is None or not reg.query.isActive):
                 with self._lock:
+                    # re-check under the lock: a concurrent stop() (or a
+                    # racing restart) between the unlocked scan and here
+                    # must not be overridden by a stale decision.
+                    if not reg.desired_running or (
+                        reg.query is not None and reg.query.isActive
+                    ):
+                        continue
                     reg.query = reg.builder(self._spark)
                     reg.restarts += 1
                 restarted.append(name)

@@ -64,6 +64,15 @@ class TestParse:
     def test_map_last_wins(self, spark):
         assert dict(_map_one(spark, "d=1\nd=2\ns=9\n")) == {"d": "2", "s": "9"}
 
+    def test_trailing_partial_entry_dropped(self, spark):
+        # the reference's find-loop consumes only separator-TERMINATED
+        # entries (MFramework.cpp:1234-1243): a trailing segment with no
+        # final newline is a partial entry and must be dropped, even if
+        # it happens to look like k=v (ADVICE r1, packets.py)
+        assert _parse_one(spark, "s=1\nf=partial") == [("s", "1")]
+        assert _parse_one(spark, "s=1") == []
+        assert _parse_one(spark, "") == []
+
     def test_missing_key_null(self, spark):
         df = spark.createDataFrame([("s=1\n",)], "payload string")
         row = df.select(packet_get(packet_map(F.col("payload")), "f").alias("f")).head()
