@@ -189,18 +189,74 @@ def _fetch_local(src: str, dst: str, **_: Any) -> str:
     return shutil.copy(src, dst)
 
 
-def _fetch_unimplemented(proto: str):
-    def fn(src: str, dst: str, **_: Any) -> str:
-        raise NotImplementedError(
-            f"{proto} fetch requires a network client (paramiko/ftplib "
-            "wiring) not bundled in this environment; register a real "
-            f"implementation via DEFAULT.register_protocol({proto!r}, fn). "
-            "On a cluster, prefer mounting the remote store instead."
-        )
+def _parse_ftp_url(src: str, opts: dict[str, Any]):
+    """Resolve host/port/credentials/path from an ftp:// URL, with
+    explicit options overriding URL parts."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(src if "://" in src else f"ftp://{src}")
+    host = opts.get("host") or u.hostname
+    if not host:
+        raise ValueError(f"ftp fetch needs a host: {src!r}")
+    port = int(opts.get("port") or u.port or 21)
+    user = opts.get("user") or (unquote(u.username) if u.username else "anonymous")
+    password = opts.get("password") or (unquote(u.password) if u.password else "")
+    path = opts.get("path") or unquote(u.path)
+    return host, port, user, password, path
+
+
+def _fetch_ftp_factory(secure: bool):
+    """FTP / FTPS fetch on stdlib ftplib — the reference registers both
+    as first-class protocol plugins (ProtocolFactory.cpp:78-118); no
+    extra dependency is needed for either (FTP_TLS is stdlib too)."""
+
+    def fn(src: str, dst: str, **opts: Any) -> str:
+        import ftplib
+
+        host, port, user, password, path = _parse_ftp_url(src, opts)
+        timeout = float(opts.get("timeout", 30.0))
+        ftp = ftplib.FTP_TLS(timeout=timeout) if secure else ftplib.FTP(timeout=timeout)
+        try:
+            ftp.connect(host, port)
+            ftp.login(user, password)
+            if secure:
+                ftp.prot_p()  # encrypt the data channel as well
+            with open(dst, "wb") as f:
+                ftp.retrbinary(f"RETR {path}", f.write)
+        finally:
+            try:
+                ftp.quit()
+            except Exception:
+                ftp.close()
+        return dst
 
     return fn
 
 
+def _fetch_sftp(src: str, dst: str, **opts: Any) -> str:
+    """SFTP fetch — the one protocol that genuinely needs a non-stdlib
+    client (paramiko); honestly gated until it is installed."""
+    try:
+        import paramiko
+    except ImportError as exc:
+        raise NotImplementedError(
+            "sftp fetch requires paramiko, which is not installed in "
+            "this environment (ftp/ftps work out of the box via stdlib "
+            "ftplib). pip install paramiko, or register a replacement "
+            "via DEFAULT.register_protocol('sftp', fn). On a cluster, "
+            "prefer mounting the remote store instead."
+        ) from exc
+
+    host, port, user, password, path = _parse_ftp_url(src, opts)
+    port = port if port != 21 else int(opts.get("port", 22))
+    with paramiko.Transport((host, port)) as transport:
+        transport.connect(username=user, password=password)
+        sftp = paramiko.SFTPClient.from_transport(transport)
+        sftp.get(path, dst)
+    return dst
+
+
 DEFAULT.register_protocol("local", _fetch_local)
-for _proto in ("ftp", "sftp", "ftps"):
-    DEFAULT.register_protocol(_proto, _fetch_unimplemented(_proto))
+DEFAULT.register_protocol("ftp", _fetch_ftp_factory(secure=False))
+DEFAULT.register_protocol("ftps", _fetch_ftp_factory(secure=True))
+DEFAULT.register_protocol("sftp", _fetch_sftp)
