@@ -9,10 +9,11 @@ for moving remote files INTO the landing zone; on a cluster the
 landing zone is an object store and fetch becomes a no-op mount.
 
 Batch formats: parquet, csv, json, text, kv_text (wire packets),
-jdbc (gated on a driver being installed).
-Streaming formats: parquet, csv, json, text, kv_text via
-``read_stream`` (file-stream sources; Kafka slots in by registering
-"kafka" where the connector jar exists).
+jdbc (driver jar on the classpath — Derby works out of the box since
+Spark ships it), kafka (connector jar required for broker I/O; the
+registration, options and decode chain are live regardless).
+Streaming formats: parquet, csv, json, text, kv_text, kafka via
+``read_stream``.
 """
 
 from __future__ import annotations
@@ -178,6 +179,99 @@ def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str =
     ).otherwise(F.translate(wire, "\n", sep))
     out = df.select(guarded.alias("value"))
     out.write.mode("overwrite").text(path)
+
+
+# -- kafka (A1/A2: the message-queue spine) ------------------------------
+#
+# The reference's pipelines hang off AMQP queues (consume loop at
+# MFramework.cpp:1151-1327; producer at :1552-1571). Kafka is the
+# Spark-native queue: the connector jar (spark-sql-kafka-0-10) plugs in
+# below with zero code changes — the registration, option plumbing and
+# the wire-decode chain are real and tested; only the broker I/O needs
+# the jar on spark.jars.packages.
+
+
+def kafka_reader_options(
+    bootstrap: str,
+    topic: str | None = None,
+    *,
+    pattern: str | None = None,
+    assign: str | None = None,
+    starting: str = "earliest",
+    **extra: Any,
+) -> dict[str, str]:
+    """Build the kafka source option map (pure function — unit-testable
+    without a broker or the connector jar). Exactly one of
+    topic/pattern/assign selects the subscription mode."""
+    selectors = [
+        ("subscribe", topic),
+        ("subscribePattern", pattern),
+        ("assign", assign),
+    ]
+    chosen = [(k, v) for k, v in selectors if v is not None]
+    if len(chosen) != 1:
+        raise ValueError(
+            "exactly one of topic/pattern/assign must be given, got "
+            f"{[k for k, _ in chosen] or 'none'}"
+        )
+    opts = {
+        "kafka.bootstrap.servers": bootstrap,
+        chosen[0][0]: chosen[0][1],
+        "startingOffsets": starting,
+    }
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def kafka_packets(df: DataFrame, sep: str | None = None) -> DataFrame:
+    """Decode kafka records to wire packets: value bytes → text →
+    parse. The reference's AMQP bodies are raw multi-line ``k=v\\n``
+    text, so the default is no separator substitution; pass ``sep`` for
+    single-line bodies using the kv_text file convention. Works on any
+    DataFrame with the kafka source schema — the decode chain is
+    testable on a static frame without a broker."""
+    from etl_work_flow_for_big_data_spark.operators.transforms import parse_packets
+
+    text = F.col("value").cast("string")
+    if sep is not None:
+        text = F.concat(F.translate(text, sep, "\n"), F.lit("\n"))
+    keep = [c for c in ("topic", "partition", "offset", "timestamp") if c in df.columns]
+    return parse_packets(df.select(text.alias("payload"), *keep))
+
+
+def _read_kafka(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+    """Batch kafka scan; ``path`` is the bootstrap-server list."""
+    o = kafka_reader_options(path, **opts)
+    try:
+        return spark.read.format("kafka").options(**o).load()
+    except Exception as exc:
+        raise RuntimeError(
+            "kafka source needs the spark-sql-kafka-0-10 connector jar "
+            "on the classpath (spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+            f"underlying error: {exc}"
+        ) from exc
+
+
+def _read_kafka_stream(
+    spark: SparkSession, path: str, schema, **opts: Any
+) -> DataFrame:
+    """Streaming kafka source (schema arg unused — kafka's record
+    schema is fixed by the connector)."""
+    o = kafka_reader_options(path, **opts)
+    try:
+        return spark.readStream.format("kafka").options(**o).load()
+    except Exception as exc:
+        raise RuntimeError(
+            "kafka source needs the spark-sql-kafka-0-10 connector jar "
+            "on the classpath (spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+            f"underlying error: {exc}"
+        ) from exc
+
+
+DEFAULT.register("kafka", _read_kafka)
+DEFAULT.register("kafka", _read_kafka_stream, streaming=True)
 
 
 # -- fetch protocols -----------------------------------------------------

@@ -139,3 +139,69 @@ def test_protocol_sftp_gated_without_paramiko():
 def test_unknown_protocol():
     with pytest.raises(KeyError, match="scp"):
         DEFAULT.fetch("scp", "a", "b")
+
+
+class TestKafka:
+    """A1/A2 message-queue slot: registration, option plumbing, and the
+    wire-decode chain are real; broker I/O needs the connector jar
+    (reference queue spine: MFramework.cpp:1151-1327)."""
+
+    def test_option_builder_modes(self):
+        from etl_work_flow_for_big_data_spark.sources.registry import (
+            kafka_reader_options,
+        )
+
+        o = kafka_reader_options("b1:9092,b2:9092", topic="cdr.in")
+        assert o == {
+            "kafka.bootstrap.servers": "b1:9092,b2:9092",
+            "subscribe": "cdr.in",
+            "startingOffsets": "earliest",
+        }
+        o = kafka_reader_options(
+            "b:9092", pattern="cdr\\..*", starting="latest", maxOffsetsPerTrigger=1000
+        )
+        assert o["subscribePattern"] == "cdr\\..*"
+        assert o["startingOffsets"] == "latest"
+        assert o["maxOffsetsPerTrigger"] == "1000"
+        with pytest.raises(ValueError, match="exactly one"):
+            kafka_reader_options("b:9092")
+        with pytest.raises(ValueError, match="exactly one"):
+            kafka_reader_options("b:9092", topic="a", pattern="b")
+
+    def test_decode_chain_on_static_frame(self, spark):
+        """kafka record schema → packets without a broker: the decode
+        chain (value bytes → text → parse) is connector-independent."""
+        from etl_work_flow_for_big_data_spark.sources.registry import kafka_packets
+
+        df = spark.createDataFrame(
+            [
+                (b"k1", b"s=1\nt=rating\nv=100\n", "cdr.in", 0, 7),
+                (b"k2", b"s=2\nt=billing\n", "cdr.in", 1, 9),
+            ],
+            "key binary, value binary, topic string, partition int, offset long",
+        )
+        rows = {r["s"]: r for r in kafka_packets(df).collect()}
+        assert rows[1]["t"] == "rating" and rows[1]["attrs"]["v"] == "100"
+        assert rows[2]["offset"] == 9 and rows[2]["partition"] == 1
+
+    def test_decode_chain_single_line_sep(self, spark):
+        from etl_work_flow_for_big_data_spark.sources.registry import kafka_packets
+
+        df = spark.createDataFrame(
+            [(b"s=3|t=rating",)], "value binary"
+        )
+        rows = kafka_packets(df, sep="|").collect()
+        assert rows[0]["s"] == 3 and rows[0]["t"] == "rating"
+
+    def test_registered_with_clear_error_without_jar(self, spark):
+        for call in (
+            lambda: DEFAULT.read(spark, "kafka", "b:9092", topic="t"),
+            lambda: DEFAULT.read_stream(spark, "kafka", "b:9092", None, topic="t"),
+        ):
+            try:
+                df = call()
+                # connector jar present: the reader builds a frame with
+                # the fixed kafka schema without contacting a broker
+                assert "value" in df.columns
+            except RuntimeError as exc:
+                assert "spark-sql-kafka" in str(exc)
