@@ -93,3 +93,36 @@ def test_rate_charge_codegen(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert re.search(r"\*\(\d+\)", plan)
+
+
+def test_dedup_minhash_verify_joins_broadcast(spark, sf_dir):
+    """The LSH band join and the shingle-verify joins must stay
+    broadcast at dim-scale candidate counts — a SortMergeJoin here
+    means the candidate side stopped fitting (or AQE is off) and the
+    whole dedup degenerates to shuffle-everything."""
+    df = REGISTRY["dedup_minhash"].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_text_queries_no_extra_exchange(spark, sf_dir):
+    """Text analysis is pure per-row expression work: the ONLY shuffle
+    allowed is the output sort's range partitioning. A hash Exchange
+    creeping in means an accidental aggregation/repartition in what
+    must stay a map-only pipeline at 100 TB."""
+    for name in (
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
+        "text_token_regex",
+        "text_chunk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") <= 1, f"{name} gained a shuffle:\n{plan}"
+        assert "Exchange hashpartitioning" not in plan, name
+    # text_tokens aggregates (token histogram): one hash Exchange for
+    # the agg plus the output sort — still no third shuffle
+    plan = _plan(spark, sf_dir, "text_tokens")
+    assert plan.count("Exchange") <= 2
