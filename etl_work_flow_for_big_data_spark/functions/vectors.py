@@ -49,14 +49,31 @@ def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column
 
     DuckDB mirror: same double-precision left-to-right fold with
     ``CAST('0x' || substring(md5(p || '_' || i), 1, 4) AS INT)``.
+
+    The weights are row-independent CONSTANTS, so they are materialized
+    at plan-build time (hashlib md5 — verified identical to the engine
+    md5 on these ASCII keys) and embedded as a literal matrix: the
+    inlined-md5 form recomputed planes×dim interpreted md5 calls PER
+    ROW (512/row at the defaults), measured ~2× this query's cost.
     """
+    import hashlib
+
+    def w(p: int, i: int) -> int:
+        return int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:4], 16) % 1001 - 500
+
+    weights = ", ".join(
+        "array(" + ", ".join(str(w(p, i)) for i in range(1, dim + 1)) + ")"
+        for p in range(n_planes)
+    )
     return F.expr(
         f"""
-        aggregate(sequence(0, {n_planes - 1}), 0, (sig, p) -> sig + IF(
-          aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE),
-            (acc, i) -> acc +
-              (CAST(conv(substring(md5(concat(p, '_', i)), 1, 4), 16, 10) AS INT) % 1001 - 500)
-              * CAST(element_at({vec_sql}, i) AS DOUBLE)
-          ) >= 0, shiftleft(1, p), 0))
+        element_at(transform(array(array({weights})), ws ->
+          aggregate(sequence(0, {n_planes - 1}), 0, (sig, p) -> sig + IF(
+            aggregate(sequence(1, {dim}), CAST(0.0 AS DOUBLE),
+              (acc, i) -> acc +
+                element_at(element_at(ws, p + 1), i)
+                * CAST(element_at({vec_sql}, i) AS DOUBLE)
+            ) >= 0, shiftleft(1, p), 0))
+        ), 1)
         """
     )
