@@ -8,6 +8,16 @@ and rankings use rounded keys + deterministic tie-breaks.
 
 Queries with no SQL-expressible oracle (LSH bucketing, HLL internals)
 register ``oracle=None`` → the driver records a rows-only check.
+
+Ordering contract: queries return UNORDERED results (the relational
+set contract). Both the driver's value hash and the local parity
+replica canonicalize order themselves, and a cosmetic global sort is
+an anti-pattern that doubles the pipeline — Spark's range-partitioning
+sort samples the child plan, executing everything upstream twice (and
+at 100 TB nobody totally orders a result set; output is written
+partitioned). Ordering survives only where it is SEMANTIC: top-k /
+sorted-limit queries (TakeOrderedAndProject) and window-function
+ORDER BY clauses.
 """
 
 from __future__ import annotations

@@ -1,11 +1,10 @@
 """Multimodal query family (SURVEY.md §2.I I5) over ``documents``
 treated as opaque binary media.
 
-``mm_binary_meta`` is fully oracle-checked (byte lengths + content
-hashes are engine-independent). ``mm_features`` exercises the real
-mapInPandas plumbing with a deterministic fake decoder — Python-side,
-so it registers without an oracle (driver rows-only check); its exact
-values are pinned by unit tests instead.
+All three queries are fully hash-oracle-checked — including the two
+mapInPandas stages (``mm_features``, ``mm_frames``), whose
+deterministic fake decoders emit md5/length-based outputs an SQL
+oracle recomputes exactly; unit tests additionally pin exact values.
 """
 
 from __future__ import annotations
@@ -45,7 +44,7 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.col("media_meta.source").alias("source"),
         F.md5("content").alias("content_hash"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -77,7 +76,7 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 2).cast("double").alias("f1"),
         F.element_at("features", 3).cast("double").alias("f2"),
         F.element_at("features", 4).cast("double").alias("f3"),
-    ).orderBy("id")
+    )
 
 
 @query(
@@ -109,4 +108,4 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame_bytes").cast("bigint").alias("n_frame_bytes"),
         F.md5("frame_bytes").alias("frame_hash"),
-    ).orderBy("id", "frame_idx")
+    )

@@ -92,7 +92,7 @@ def parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
         packet_get(m, "v").cast("long").alias("v_cents"),
         packet_get(m, "x").alias("x"),
         F.size(packet_entries(F.col("payload"))).alias("n_entries"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -127,7 +127,7 @@ def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id", serialize_entries(entries).alias("payload")
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -147,7 +147,6 @@ def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_id", packet_get(m, "s").cast("long").alias("s"))
         .filter(F.col("s").isNotNull())
-        .orderBy("event_id")
     )
 
 
@@ -175,7 +174,6 @@ def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             packet_get(m, "f").alias("fname"),
         )
         .filter(F.col("s_norm").isNotNull())
-        .orderBy("event_id")
     )
 
 
@@ -201,7 +199,7 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         s_str.try_cast("long").alias("s_long"),
         (F.col("event_id") % 7 != 0).alias("is_valid"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -222,7 +220,6 @@ def filter_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_id", level.cast("int").alias("level"))
         .filter(bitmask_admit(F.col("level")))
-        .orderBy("event_id")
     )
 
 
@@ -246,7 +243,7 @@ def case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     level = F.expr("shiftleft(1, CAST(event_id % 7 AS INT))").cast("int")
     return ev.select(
         "event_id", level.alias("level"), decode_level(level).alias("level_letter")
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -283,7 +280,7 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_epoch"),
         F.round(F.abs(F.col("o_totalprice") - 100000.5), 2).alias("amt_dev"),
-    ).orderBy("o_orderkey")
+    )
 
 
 @query(
@@ -305,7 +302,7 @@ def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         parsed["k"].alias("k"),
         F.get_json_object("props", "$.k").cast("int").alias("k_via_path"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -324,4 +321,4 @@ def serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", F.to_json(F.struct("event_id", "event_type")).alias("js")
-    ).orderBy("event_id")
+    )

@@ -70,7 +70,6 @@ def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -109,7 +108,6 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
-        .orderBy("n_name")
     )
 
 
@@ -157,7 +155,6 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_spent"
             ),
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -178,7 +175,6 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -223,7 +219,6 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -260,7 +255,6 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tier_charge"
             ),
         )
-        .orderBy("tier")
     )
 
 
@@ -298,7 +292,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.date_format("signup_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("signup_ts"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------
@@ -335,7 +329,6 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -359,7 +352,6 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -394,7 +386,6 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < 0.05
             ).alias("approx_ok"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -425,7 +416,6 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_price",
         )
-        .orderBy("status", "priority")
     )
 
 
@@ -456,7 +446,6 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum(F.when(is_f, F.col("o_totalprice"))), F.lit(0.0)), 2
             ).alias("sum_f"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -489,7 +478,6 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
             F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -526,7 +514,6 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -556,7 +543,7 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(wr), 2).alias("running_total"),
         F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
         F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 @query(
@@ -630,7 +617,7 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     either = f_cust.union(o_cust).distinct().select(
         F.lit("either").alias("op"), "o_custkey"
     )
-    return both.unionByName(f_only).unionByName(either).orderBy("op", "o_custkey")
+    return both.unionByName(f_only).unionByName(either)
 
 
 # --------------------------------------------------------------------
@@ -668,7 +655,6 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_price",
         )
-        .orderBy("status", "priority")
     )
 
 
@@ -849,7 +835,6 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
-        .orderBy("tier")
     )
 
 
@@ -886,7 +871,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("f_cnt"),
         F.coalesce(F.col("O"), F.lit(0)).alias("o_cnt"),
         F.coalesce(F.col("P"), F.lit(0)).alias("p_cnt"),
-    ).orderBy("o_orderpriority")
+    )
 
 
 @query(
@@ -917,7 +902,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["sum_qty", "sum_price"],
         variableColumnName="metric",
         valueColumnName="val",
-    ).orderBy("l_returnflag", "metric")
+    )
 
 
 @query(
@@ -944,7 +929,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") >= 50, F.col("value")), F.lit(0.0)
         ).alias("value_floor"),
         F.when(nulled.isNull(), 1).otherwise(0).alias("was_error"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -979,7 +964,6 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < 0.02
             ).alias("approx_ok"),
         )
-        .orderBy("l_returnflag")
     )
 
 

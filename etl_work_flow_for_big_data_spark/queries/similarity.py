@@ -57,7 +57,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return topk_cosine(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=10
-    ).orderBy("q_vec_id", "rank")
+    )
 
 
 @query(
@@ -74,7 +74,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4).orderBy("d1", "d2")
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4)
 
 
 _DUCK_SIG = """
@@ -114,7 +114,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5
-    ).orderBy("q_vec_id", "rank")
+    )
 
 
 @query(
@@ -156,4 +156,4 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16, k=5
-    ).orderBy("q_vec_id", "rank")
+    )

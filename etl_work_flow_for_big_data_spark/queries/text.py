@@ -60,7 +60,6 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("lang", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("lang", "token")
     )
 
 
@@ -103,7 +102,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_token_len(text), 4).alias("avg_token_len"),
         F.round(stop, 4).alias("stop_ratio"),
         F.round(quality, 4).alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -132,7 +131,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         F.round(score, 4).alias("en_score"),
         F.when(score > 0.05, "en").otherwise("und").alias("pred_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -153,7 +152,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint(F.col("text")).alias("fp"),
         min_shingle_fingerprint(F.col("text"), 5).alias("min_shingle_fp"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -177,7 +176,7 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
         F.size(bpe_ish_tokens(aug)).cast("int").alias("n_re_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -195,7 +194,7 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedup_exact(d, "text", "doc_id").orderBy("text_hash")
+    return dedup_exact(d, "text", "doc_id")
 
 
 @query(
@@ -218,9 +217,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5).orderBy(
-        "d1", "d2"
-    )
+    return ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
 
 
 @query(
@@ -266,7 +263,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "text", "doc_id", k=5, n_hashes=12, n_bands=4, threshold=0.5
-    ).orderBy("d1", "d2")
+    )
 
 
 @query(
@@ -291,7 +288,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_fingerprints(d, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "simhash"
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -331,7 +328,6 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -361,7 +357,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
     return apply_near_dedup(d, pairs, "doc_id").select(
         "doc_id", "lang", "source"
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -378,4 +374,4 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
-    return connected_components(pairs).orderBy("id")
+    return connected_components(pairs)

@@ -48,7 +48,6 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -80,7 +79,6 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("window_start")
     )
 
 
@@ -130,7 +128,6 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -156,4 +153,4 @@ def route_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("event_type").alias("route"),
         ((F.row_number().over(w) - 1) % 3).cast("long").alias("rr_slot"),
-    ).orderBy("event_id")
+    )
