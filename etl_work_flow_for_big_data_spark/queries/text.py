@@ -229,7 +229,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (
       SELECT doc_id, sh,
              list_transform(range(0, 12),
-               __i -> list_min(list_transform(sh, __s -> md5(__i || '#' || __s)))) AS sig
+               __i -> list_min(list_transform(sh,
+                 __s -> substring(md5((__i // 8) || '#' || __s),
+                                  (__i % 8) * 4 + 1, 4)))) AS sig
       FROM base
     ),
     banded AS (
@@ -254,10 +256,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.5
     ORDER BY d1, d2
     """,
-    doc="I2 MinHash-LSH near-dup: md5 hash family → 12-row signature → "
-    "4-band bucket equi-join → exact-Jaccard verify. Sub-quadratic: "
-    "shuffle O(docs×bands), not O(docs²). Oracle mirrors the exact "
-    "hash family, so candidates are engine-independent.",
+    doc="I2 MinHash-LSH near-dup: word-split md5 hash family (8 16-bit "
+    "hashes per md5) → 12-row signature → 4-band bucket equi-join → "
+    "exact-Jaccard verify. Sub-quadratic: shuffle O(docs×bands), not "
+    "O(docs²). Oracle mirrors the exact hash family, so candidates "
+    "are engine-independent.",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
