@@ -367,14 +367,21 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="D3 approx count-distinct (HLL; the 100-TB answer). HLL values "
     "aren't bit-identical across engines, so the oracle checks the "
-    "estimate lands within 5% of exact (approx_ok) plus the exact count.",
+    "estimate lands within 5% of exact (approx_ok) plus the exact count. "
+    "Shape: distinct-first (map-side partial dedup, no EXPAND) then a "
+    "tiny agg — the combined countDistinct+approx single agg plans an "
+    "EXPAND that doubles the scan, measured 3x slower; HLL is "
+    "duplicate-insensitive so the estimate is identical over the "
+    "deduped pairs.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
         .agg(
-            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.count(F.lit(1)).alias("exact_parts"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         )
         .select(
