@@ -378,3 +378,53 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
     return connected_components(pairs)
+
+
+@query(
+    "llm_clean_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len({_DUCK_TOKS}) AS INT) AS n_tokens
+      FROM documents
+      WHERE len({_DUCK_TOKS}) >= 20
+    ),
+    k AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    u AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+    s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM u),
+    n AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    dups AS (SELECT DISTINCT d2 FROM p
+             JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+             WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5)
+    SELECT doc_id, lang, source, n_tokens
+    FROM u WHERE doc_id NOT IN (SELECT d2 FROM dups)
+    """,
+    doc="Flagship LLM training-data prep pipeline, end to end in ONE "
+    "Catalyst plan: quality gate (token count >= 20) -> exact dedup "
+    "(normalized-md5 digest groupBy, min-id keeper) -> near-dup "
+    "removal (5-gram Jaccard >= 0.5, greedy keep-lowest-id) -> clean "
+    "corpus projection. At 100 TB every stage shuffles digests/ids, "
+    "never document text; the near-dup stage swaps to "
+    "minhash_lsh_pairs for sub-quadratic candidates (exact Jaccard "
+    "kept here so the whole pipeline is hash-oracle-checkable).",
+)
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    qual = d.withColumn(
+        "n_tokens", token_count(F.col("text")).cast("int")
+    ).filter(F.col("n_tokens") >= 20)
+    keepers = dedup_exact(qual, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    uniq = qual.join(keepers, "doc_id", "left_semi")
+    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", k=5, threshold=0.5)
+    clean = apply_near_dedup(uniq, pairs, "doc_id")
+    return clean.select("doc_id", "lang", "source", "n_tokens")
