@@ -64,14 +64,16 @@ def pairwise_cosine(
     ``corpus`` is the (small, broadcastable) side as (id, vector)
     tuples — collect it from a DataFrame of dim-table size only.
     mode='pairs' keeps row_id < corpus_id (self-join dedup);
-    mode='all' keeps row_id != corpus_id (query-vs-corpus).
+    mode='all' keeps row_id != corpus_id (query-vs-corpus);
+    mode='full' keeps every pair (corpus ids in a separate id space —
+    e.g. refined k-means centroids — where equality is meaningless).
     ``prefilter`` drops pairs with raw cosine below it inside the
     kernel (Arrow-transfer control); pass threshold − 1e-6 so the
     caller's exact rounded filter is unaffected.
     Returns (d1, d2, cos_raw) — caller rounds/filters/ranks Spark-side.
     """
-    if mode not in ("pairs", "all"):
-        raise ValueError(f"mode must be pairs|all, got {mode!r}")
+    if mode not in ("pairs", "all", "full"):
+        raise ValueError(f"mode must be pairs|all|full, got {mode!r}")
     if not corpus:
         # empty query/centroid set → empty result, not a numpy shape error
         spark = df.sparkSession
@@ -91,8 +93,10 @@ def pairwise_cosine(
             cos = dots / np.sqrt(_fold_norm_sq(A)[:, None] * corpus_norms[None, :])
             if mode == "pairs":
                 keep = ids[:, None] < corpus_ids[None, :]
-            else:
+            elif mode == "all":
                 keep = ids[:, None] != corpus_ids[None, :]
+            else:  # full
+                keep = np.ones((len(ids), len(corpus_ids)), dtype=bool)
             # zero-norm vectors have undefined cosine (0/0 → NaN);
             # they are EXCLUDED from pairing by contract, explicitly —
             # Arrow would otherwise coerce the NaN to NULL on transfer

@@ -158,6 +158,84 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) refinement of an initial centroid set.
+
+    Each iteration: (1) assign every vector to its max-cosine centroid
+    — one Arrow-kernel pass over the full table, (2) recompute each
+    centroid as the element-wise mean of its members — posexplode +
+    (cluster, dim) groupBy, shuffle O(n·dim) of scalars, then a k×dim
+    collect (constant-size by contract). The distributed shape is the
+    standard one: the data never gathers anywhere, only centroids do.
+
+    Means over doubles are FP-order-dependent across partitionings, so
+    refined centroids are deterministic in VALUE only up to FP
+    association — callers needing cross-engine bit-parity (the oracled
+    ivf_topk query) use iters=0. Empty clusters keep their previous
+    centroid (the standard fix; no resampling, stays deterministic).
+    """
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        scored = pairwise_cosine(vecs, "id", "v", centroids, mode="full")
+        w = Window.partitionBy("d1").orderBy(
+            F.desc(F.round("cos_raw", 6)), F.asc("d2")
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("d1").alias("id"), F.col("d2").alias("cluster"))
+        )
+        means = (
+            vecs.join(assigned, "id")
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster", F.transform("pm", lambda s: s["m"]).alias("centroid")
+            )
+            .collect()
+        )
+        by_id = {r["cluster"]: list(r["centroid"]) for r in means}
+        centroids = [(cid, by_id.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
+def kmeans_inertia(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> float:
+    """Mean max-cosine of every vector to its nearest centroid (the
+    spherical-k-means objective; higher is tighter)."""
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    scored = pairwise_cosine(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id",
+        "v",
+        centroids,
+        mode="full",
+    )
+    row = (
+        scored.groupBy("d1")
+        .agg(F.max("cos_raw").alias("best"))
+        .agg(F.avg("best").alias("objective"))
+        .collect()[0]
+    )
+    return float(row["objective"])
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -165,17 +243,22 @@ def ivf_topk(
     vec_col: str,
     n_centroids: int = 16,
     k: int = 5,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid
-    (deterministic centroid set: the first ``n_centroids`` ids — a
-    k-means iteration would refine them; assignment logic is
-    identical), then answer each query from its own cluster only.
+    """IVF-style ANN: assign every vector to its nearest centroid, then
+    answer each query from its own cluster only.
+
+    The initial centroid set is deterministic (the first
+    ``n_centroids`` ids); ``kmeans_iters`` Lloyd iterations
+    (:func:`kmeans_refine`) tighten it — the oracled query keeps
+    iters=0 because refined means are FP-order-dependent across
+    engines; library callers wanting real IVF recall use iters>=2.
 
     Scale shape: centroid assignment is one kernel pass (O(n·c));
     search is an equi-join on cluster id, scoring O(n·q/c) in
-    expectation — the inverted-file trade. Deterministic end-to-end:
-    ties in assignment break on centroid id, ranking on rounded cosine
-    + candidate id.
+    expectation — the inverted-file trade. Deterministic end-to-end at
+    iters=0: ties in assignment break on centroid id, ranking on
+    rounded cosine + candidate id.
     Returns (q_vec_id, rank, c_vec_id, cos_sim).
     """
     from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
@@ -186,7 +269,10 @@ def ivf_topk(
         .select(id_col, vec_col)
         .collect()
     ]
-    scored = pairwise_cosine(df, id_col, vec_col, centroids, mode="all")
+    if kmeans_iters:
+        centroids = kmeans_refine(df, id_col, vec_col, centroids, kmeans_iters)
+    mode = "full" if kmeans_iters else "all"
+    scored = pairwise_cosine(df, id_col, vec_col, centroids, mode=mode)
     w_assign = Window.partitionBy("d1").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("d2")
     )
@@ -195,14 +281,16 @@ def ivf_topk(
         .filter(F.col("__rn") == 1)
         .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
     )
-    # centroids themselves: nearest non-self centroid wins above, but a
-    # centroid belongs to its own cluster by definition
-    assigned = assigned.withColumn(
-        "cluster",
-        F.when(F.col(id_col) < n_centroids, F.col(id_col)).otherwise(
-            F.col("cluster")
-        ),
-    )
+    if not kmeans_iters:
+        # unrefined centroids are data rows scored in 'all' mode (self
+        # excluded): nearest non-self wins above, but a centroid
+        # belongs to its own cluster by definition
+        assigned = assigned.withColumn(
+            "cluster",
+            F.when(F.col(id_col) < n_centroids, F.col(id_col)).otherwise(
+                F.col("cluster")
+            ),
+        )
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
     q = (
         vecs.filter(F.col(id_col).isin(query_ids))

@@ -69,3 +69,76 @@ def test_zero_norm_vector_excluded_by_contract(spark):
     raw = pairwise_cosine(df, "vec_id", "embedding", corpus, mode="all").collect()
     assert all(not math.isnan(r["cos_raw"]) for r in raw)
     assert {(r["d1"], r["d2"]) for r in raw} == {(2, 3), (3, 2)}
+
+
+class TestKmeansRefine:
+    """Spherical k-means refinement (I3): Lloyd iterations improve the
+    clustering objective and ivf_topk composes with refined centroids."""
+
+    @pytest.fixture(scope="class")
+    def two_clusters(self, spark):
+        # two tight direction-clusters; ids 0 and 1 (the initial
+        # centroids) land one in each
+        rows = [(0, [1.0, 0.0, 0.1, 0.0]), (1, [0.0, 1.0, 0.0, 0.1])]
+        for i in range(2, 30):
+            if i % 2 == 0:
+                rows.append((i, [1.0, 0.05 * (i % 5), 0.1, 0.0]))
+            else:
+                rows.append((i, [0.05 * (i % 5), 1.0, 0.0, 0.1]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_objective_improves(self, two_clusters):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            kmeans_inertia,
+            kmeans_refine,
+        )
+
+        init = [
+            (r["vec_id"], list(r["embedding"]))
+            for r in two_clusters.filter("vec_id < 2").collect()
+        ]
+        before = kmeans_inertia(two_clusters, "vec_id", "embedding", init)
+        refined = kmeans_refine(two_clusters, "vec_id", "embedding", init, iters=2)
+        after = kmeans_inertia(two_clusters, "vec_id", "embedding", refined)
+        assert after >= before - 1e-12
+        assert len(refined) == 2
+        assert all(len(v) == 4 for _, v in refined)
+        # centroids moved toward their cluster means (no longer the
+        # raw seed vectors)
+        assert refined[0][1] != init[0][1]
+
+    def test_ivf_with_refinement_finds_same_cluster_neighbors(self, two_clusters):
+        from etl_work_flow_for_big_data_spark.operators.similarity import ivf_topk
+
+        out = ivf_topk(
+            two_clusters,
+            [4, 5],
+            "vec_id",
+            "embedding",
+            n_centroids=2,
+            k=3,
+            kmeans_iters=2,
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["q_vec_id"], []).append(r["c_vec_id"])
+        # even-id query gets even-id neighbors (its direction cluster),
+        # odd gets odd
+        assert all(c % 2 == 0 for c in by_q[4])
+        assert all(c % 2 == 1 for c in by_q[5])
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            kmeans_refine,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [1.0, 0.02])],
+            "vec_id long, embedding array<float>",
+        )
+        # centroid 99 is far from every vector -> empty cluster
+        init = [(0, [1.0, 0.0]), (99, [-1.0, 0.0])]
+        refined = kmeans_refine(df, "vec_id", "embedding", init, iters=1)
+        got = dict(refined)
+        assert got[99] == [-1.0, 0.0]  # unchanged
+        assert got[0] != [1.0, 0.0]  # moved to the members' mean
