@@ -10,7 +10,7 @@ identically on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.catalog import load_table
@@ -428,3 +428,135 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", k=5, threshold=0.5)
     clean = apply_near_dedup(uniq, pairs, "doc_id")
     return clean.select("doc_id", "lang", "source", "n_tokens")
+
+
+@query(
+    "text_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or https://site' || doc_id ||
+             '.io ref 4111111111111111' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                 'https?://[a-z0-9./-]+', '<URL>', 'g'),
+                 '[0-9]{13,16}', '<NUM>', 'g'))                  AS scrubbed_hash,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, 'https?://[a-z0-9./-]+')) AS INT)   AS n_urls
+    FROM aug
+    """,
+    doc="I4 PII scrubbing: email/URL/long-digit-run redaction via "
+    "chained regexp_replace (the fixture corpus carries no PII, so "
+    "synthetic markers are injected deterministically first — the "
+    "operator under test is the scrub chain). Narrow per-row "
+    "expressions; at 100 TB this is a map-only pass.",
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://site"),
+        F.col("doc_id").cast("string"),
+        F.lit(".io ref 4111111111111111"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, r"[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+            r"https?://[a-z0-9./-]+",
+            "<URL>",
+        ),
+        r"[0-9]{13,16}",
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"[a-z0-9._]+@[a-z0-9.-]+"), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(r"https?://[a-z0-9./-]+"), 0))
+        .cast("int")
+        .alias("n_urls"),
+    )
+
+
+@query(
+    "split_assign",
+    """
+    SELECT doc_id,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+                % 100 AS INT)                             AS bucket,
+           CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+                     % 100 < 90 THEN 'train'
+                WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+                     % 100 < 95 THEN 'val'
+                ELSE 'test' END                           AS split
+    FROM documents
+    """,
+    doc="I4/D train-val-test assignment: deterministic hash-bucket "
+    "split (md5 of the id, 90/5/5) — reproducible across engines, "
+    "runs, and cluster sizes; no sampling state, no shuffle. The "
+    "standard way to split 100 TB without materializing a permutation.",
+)
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), __t -> len(__t) > 0)) AS INT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS seq_id
+    FROM t
+    """,
+    doc="I4 sequence packing: assign docs to fixed token-budget "
+    "training sequences (512 tokens) by running-sum window within "
+    "language — each doc lands in the sequence where its text starts. "
+    "One window shuffle on the partition key; deterministic (integer "
+    "sums, id-ordered frames). The packing every LLM data loader "
+    "needs before concat-and-chunk.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("int")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
+        .cast("bigint")
+        .alias("seq_id"),
+    )
