@@ -127,3 +127,23 @@ def test_text_queries_no_extra_exchange(spark, sf_dir):
     # the agg plus the output sort — still no third shuffle
     plan = _plan(spark, sf_dir, "text_tokens")
     assert plan.count("Exchange") <= 2
+
+
+def test_pipeline_utility_plans(spark, sf_dir):
+    """New training-pipeline utilities keep their promised shapes:
+    scrub and split are map-only (zero Exchange), packing pays exactly
+    its one window shuffle."""
+    for name, max_ex in (("text_scrub", 0), ("split_assign", 0), ("pack_sequences", 1)):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") <= max_ex, f"{name}:\n{plan}"
+
+
+def test_llm_clean_corpus_join_discipline(spark, sf_dir):
+    """Flagship corpus-prep plan: the only sort-merge join allowed is
+    the shingle self-join (both sides are the full inverted index —
+    broadcast impossible by design); everything else must broadcast.
+    Document text itself must never be a shuffle key."""
+    plan = _plan(spark, sf_dir, "llm_clean_corpus")
+    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "hashpartitioning(text" not in plan
