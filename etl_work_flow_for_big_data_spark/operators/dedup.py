@@ -243,26 +243,26 @@ def connected_components(
         )
         # eager localCheckpoint every round: iterative joins otherwise
         # grow the lineage linearly and the planner blows up past ~10
-        # rounds; checkpointing makes each round O(1) plan size
+        # rounds; checkpointing makes each round O(1) plan size. The
+        # change flag is computed IN the same pass (old vs new label),
+        # so the convergence probe below only scans the checkpoint —
+        # no extra join job per round.
+        new_label = F.least(
+            F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+        )
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
+                new_label.alias("new_component"),
+                (new_label != F.col("component")).alias("chg"),
             )
+            .withColumnRenamed("new_component", "component")
             .repartition(n_parts, "id")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("chg").limit(1).count()
+        labels = updated.drop("chg")
         if changed == 0:
             break
     else:
