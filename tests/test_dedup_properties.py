@@ -1,0 +1,112 @@
+"""Property-style invariants for the dedup family (I1/I2) — relations
+that must hold for ANY corpus, pinned on deterministic generated docs
+plus targeted edge shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_work_flow_for_big_data_spark.operators.dedup import (
+    apply_near_dedup,
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+
+def _doc(i: int, n: int = 12) -> str:
+    # token-disjoint across docs: no accidental cross-doc shingles
+    return " ".join(f"t{i}x{j}" for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, _doc(i)) for i in range(20)]
+    # exact duplicates of docs 0 and 1
+    rows += [(100, _doc(0)), (101, _doc(1))]
+    # a near-duplicate of doc 2: same first 10 tokens, different tail
+    # (6 of 8 shingles shared -> jaccard 0.6)
+    rows += [(102, _doc(2, n=10) + " omega psi")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_always_pair(corpus):
+    """Identical text ⇒ identical shingle sets ⇒ jaccard 1.0 pair in
+    BOTH the exact n-gram path and the MinHash-LSH path (identical
+    signatures collide in every band)."""
+    for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        pairs = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in fn(corpus, "text", "doc_id", k=5, threshold=0.5).collect()
+        }
+        assert pairs[(0, 100)] == 1.0, fn.__name__
+        assert pairs[(1, 101)] == 1.0, fn.__name__
+
+
+def test_minhash_candidates_subset_of_exact(corpus):
+    """LSH pairs are a SUBSET of the exact-Jaccard pairs at the same
+    threshold (banding can miss candidates, never invent them — the
+    verify step guarantees it)."""
+    exact = {
+        (r["d1"], r["d2"])
+        for r in ngram_jaccard_pairs(
+            corpus, "text", "doc_id", k=5, threshold=0.5
+        ).collect()
+    }
+    lsh = {
+        (r["d1"], r["d2"])
+        for r in minhash_lsh_pairs(
+            corpus, "text", "doc_id", k=5, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 100) in lsh  # and it's not trivially empty
+
+
+def test_apply_near_dedup_idempotent(corpus):
+    """Applying the same pair set twice changes nothing the second
+    time, and keepers (min ids) always survive."""
+    pairs = ngram_jaccard_pairs(corpus, "text", "doc_id", k=5, threshold=0.5)
+    once = apply_near_dedup(corpus, pairs, "doc_id")
+    twice = apply_near_dedup(once, pairs, "doc_id")
+    ids_once = sorted(r["doc_id"] for r in once.collect())
+    ids_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert ids_once == ids_twice
+    assert 0 in ids_once and 1 in ids_once  # min-id keepers survive
+    assert 100 not in ids_once and 101 not in ids_once
+
+
+def test_dedup_exact_partitions_corpus(corpus):
+    """Every doc belongs to exactly one digest group; group sizes sum
+    to the corpus size; keeper is the min id of its group."""
+    groups = dedup_exact(corpus, "text", "doc_id").collect()
+    assert sum(r["n_copies"] for r in groups) == corpus.count()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in groups}
+    assert by_keeper[0] == 2 and by_keeper[1] == 2  # dup pairs
+    assert 100 not in by_keeper and 101 not in by_keeper
+
+
+def test_split_assign_is_total_and_deterministic(spark, sf_dir):
+    """Every doc gets exactly one split; assignment is a pure function
+    of the id (stable across runs and partitionings)."""
+    from etl_work_flow_for_big_data_spark.queries import load_all
+
+    q = load_all()["split_assign"].fn
+    a = {r["doc_id"]: r["split"] for r in q(spark, sf_dir).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in q(spark, sf_dir).repartition(7).collect()
+    }
+    assert a == b
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_fetch_url_without_host_raises():
+    from etl_work_flow_for_big_data_spark.sources.registry import DEFAULT
+
+    with pytest.raises(ValueError, match="host"):
+        DEFAULT.fetch("ftp", "ftp:///no-host-here", "/tmp/x")
