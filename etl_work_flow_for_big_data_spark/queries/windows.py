@@ -154,3 +154,81 @@ def route_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("route"),
         ((F.row_number().over(w) - 1) % 3).cast("long").alias("rr_slot"),
     )
+
+
+@query(
+    "ts_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+         types AS (SELECT DISTINCT event_type FROM events),
+         grid AS (SELECT event_type,
+                         unnest(generate_series((SELECT lo FROM b),
+                                                (SELECT hi FROM b),
+                                                INTERVAL 1 HOUR)) AS hour
+                  FROM types),
+         agg AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                        CAST(count(*) AS BIGINT) AS n,
+                        ROUND(sum(value), 2)     AS sv
+                 FROM events GROUP BY 1, 2)
+    SELECT g.event_type,
+           strftime(g.hour, '%Y-%m-%d %H:%M:%S')  AS hour_ts,
+           CAST(COALESCE(a.n, 0) AS BIGINT)       AS n_events,
+           COALESCE(a.sv, 0.0)                    AS sum_value,
+           ROUND(last_value(a.sv IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                                                  AS ffill_sum
+    FROM grid g
+    LEFT JOIN agg a ON g.event_type = a.event_type AND g.hour = a.hour
+    """,
+    doc="G7/E hypertable-rollup gap-fill: dense hourly grid per series "
+    "(generate_series x distinct types — no crossJoin, the grid is "
+    "types x hours by construction), hourly rollup LEFT-joined on, "
+    "zero-fill counts, forward-fill sums (last IGNORE NULLS window). "
+    "At 100 TB: the rollup is a partial+final hash agg at (type, hour) "
+    "cardinality; the grid side is tiny by definition; one window "
+    "shuffle on the series key. Empty leading cells stay NULL in "
+    "ffill_sum on both engines.",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).collect()[0]  # 1-row bounds: plan-time scalar by contract
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(b["lo"]), F.lit(b["hi"]), F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("hour"),
+        )
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", _TS_FMT).alias("hour_ts"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+            F.round(F.last("sv", ignorenulls=True).over(w), 2).alias(
+                "ffill_sum"
+            ),
+        )
+    )
