@@ -130,25 +130,50 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates in the query's LSH
     bucket. Returns (q_vec_id, rank, c_vec_id, cos_sim) — recall < 1
-    by design; deterministic given the md5 hash family."""
+    by design; deterministic given the md5 hash family.
+
+    ``multi_probe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query signature (flip each plane bit) — the
+    standard recall lever: a near neighbor differing on one hyperplane
+    side is found at ~(n_planes+1)× candidate cost instead of being
+    lost. Only the QUERY side fans out; the candidate index is
+    untouched, so the big-table cost is unchanged at 100 TB."""
     sig = lsh_hyperplane_sig(vec_col, n_planes, dim)
     q = queries.select(
         F.col(id_col).alias("q_vec_id"),
         F.col(vec_col).alias("q_vec"),
-        sig.alias("bucket"),
+        sig.alias("sig"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("sig"),
+            *[F.col("sig").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.select(
+            "q_vec_id", "q_vec", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("sig", "bucket")
     c = candidates.select(
         F.col(id_col).alias("c_vec_id"),
         F.col(vec_col).alias("c_vec"),
         sig.alias("bucket"),
     )
-    scored = (
+    cand = (
         c.join(F.broadcast(q), ["bucket"])
         .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("q_vec_id", "q_vec", "c_vec_id", "c_vec")
+    )
+    if multi_probe:
+        # a (q, c) pair can meet through several probed buckets; the
+        # duplicate rows are bit-identical, so distinct is deterministic
+        cand = cand.distinct()
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
     return (

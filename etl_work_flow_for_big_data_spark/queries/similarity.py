@@ -157,3 +157,46 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16, k=5
     )
+
+
+@query(
+    "sim_ann_multiprobe",
+    f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS sig
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding,
+             unnest(list_prepend(sig,
+               list_transform(range(0, 8), __p -> xor(sig, 1 << __p)))) AS bucket
+      FROM sig WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_vec_id, q.embedding AS q_emb,
+                      c.vec_id AS c_vec_id, c.embedding AS c_emb
+      FROM q JOIN sig c ON q.bucket = c.sig AND q.vec_id <> c.vec_id
+    )
+    SELECT q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q_vec_id
+             ORDER BY ROUND({_duck_cos('q_emb', 'c_emb')}, 6) DESC,
+                      c_vec_id) AS BIGINT)             AS rank,
+           c_vec_id,
+           ROUND({_duck_cos('q_emb', 'c_emb')}, 6)     AS cos_sim
+    FROM cand
+    QUALIFY rank <= 5
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 multi-probe ANN: probe the query's bucket plus every "
+    "Hamming-1 bucket (flip each hyperplane bit) — the standard LSH "
+    "recall lever at (n_planes+1)x query-side fan-out with the "
+    "candidate index untouched. Deterministic md5 plane family keeps "
+    "it fully oracle-checkable.",
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5,
+        multi_probe=True,
+    )

@@ -142,3 +142,25 @@ class TestKmeansRefine:
         got = dict(refined)
         assert got[99] == [-1.0, 0.0]  # unchanged
         assert got[0] != [1.0, 0.0]  # moved to the members' mean
+
+
+def test_multiprobe_recall_superset(spark):
+    """Multi-probe candidates are a strict superset of single-probe
+    candidates (same buckets probed plus 8 Hamming-1 neighbors), so
+    per-query recall vs the exact answer can only improve."""
+    from etl_work_flow_for_big_data_spark.operators.similarity import ann_lsh_topk
+
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 4")
+    single = ann_lsh_topk(q, df, "vec_id", "embedding", k=50, n_planes=8, dim=8)
+    multi = ann_lsh_topk(
+        q, df, "vec_id", "embedding", k=50, n_planes=8, dim=8, multi_probe=True
+    )
+    s = {(r["q_vec_id"], r["c_vec_id"]) for r in single.collect()}
+    m = {(r["q_vec_id"], r["c_vec_id"]) for r in multi.collect()}
+    assert s <= m
+    assert len(m) > len(s)  # probing actually widened the net
