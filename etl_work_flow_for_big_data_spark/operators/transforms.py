@@ -103,3 +103,34 @@ def round_robin(df: DataFrame, n: int = 4) -> DataFrame:
     """F3: round-robin redistribution (producer index cycling,
     MFramework.cpp:1565-1571) — Spark's RoundRobinPartitioning."""
     return df.repartition(n)
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Batch CDC merge: rows of ``updates`` replace same-key rows of
+    ``base``; new keys append; rows with ``tombstone_col`` true are
+    deleted. The plain-parquet answer to MERGE INTO (no lakehouse
+    dependency): survivors = base ANTI-JOIN update-keys, result =
+    survivors UNION updates-minus-tombstones.
+
+    At 100 TB: one shuffle on the merge key for the anti-join (or zero
+    with pre-bucketed layouts, operators/distribution.py) and a
+    narrow union — update batches are typically ≪ base, so the
+    anti-join broadcasts the update-key side. Output overwrites the
+    base atomically at the sink (write-then-swap), exactly how the
+    reference's batch jobs replace their landing outputs.
+    """
+    upd_keys = updates.select(*key_cols).distinct()
+    survivors = base.join(upd_keys, key_cols, "left_anti")
+    live = (
+        updates.filter(~F.coalesce(F.col(tombstone_col), F.lit(False)))
+        .drop(tombstone_col)
+        if tombstone_col
+        else updates
+    )
+    return survivors.unionByName(live)
+

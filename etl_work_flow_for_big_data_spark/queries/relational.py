@@ -1124,3 +1124,51 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sum_qty_raw").cast("bigint").alias("sum_qty"),
         )
     )
+
+
+@query(
+    "merge_upsert",
+    """
+    WITH upd AS (
+      SELECT c_custkey,
+             ROUND(c_acctbal + 100, 2) AS c_acctbal,
+             c_mktsegment,
+             (c_custkey % 50 = 0)      AS deleted
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0, 'NEW', FALSE
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS c_acctbal, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM upd WHERE NOT deleted
+    """,
+    doc="CDC batch merge (MERGE INTO without a lakehouse): updates "
+    "replace same-key base rows, new keys append, tombstones delete — "
+    "survivors via one key anti-join + union. The update batch is "
+    "synthesized from customer itself so the oracle replays the exact "
+    "semantics.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.transforms import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment"
+    )
+    changes = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+        (F.col("c_custkey") % 50 == 0).alias("deleted"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("deleted"),
+    )
+    return merge_upsert(
+        c, changes.unionByName(inserts), ["c_custkey"], tombstone_col="deleted"
+    )

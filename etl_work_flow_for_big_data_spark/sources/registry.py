@@ -95,9 +95,25 @@ def _stream_reader(fmt: str):
     return fn
 
 
-for _fmt in ("parquet", "csv", "json", "text"):
+for _fmt in ("parquet", "csv", "json", "text", "orc"):
     DEFAULT.register(_fmt, _reader(_fmt))
     DEFAULT.register(_fmt, _stream_reader(_fmt), streaming=True)
+
+
+def _read_avro(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
+    """Avro ships as an external Spark module (spark-avro); registered
+    with a clear gate so the registry surface is complete either way."""
+    try:
+        return spark.read.options(**opts).format("avro").load(path)
+    except Exception as exc:
+        raise RuntimeError(
+            "avro source needs the spark-avro module on the classpath "
+            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:"
+            f"<spark-version>); underlying error: {exc}"
+        ) from exc
+
+
+DEFAULT.register("avro", _read_avro)
 
 
 def _read_kv_text(spark: SparkSession, path: str, **opts: Any) -> DataFrame:

@@ -39,8 +39,23 @@ def test_read_kv_text_packets(spark, tmp_path):
 
 
 def test_unknown_format_error(spark):
-    with pytest.raises(KeyError, match="avro"):
-        DEFAULT.read(spark, "avro", "/nowhere")
+    with pytest.raises(KeyError, match="xml"):
+        DEFAULT.read(spark, "xml", "/nowhere")
+
+
+def test_read_orc_roundtrip(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    src.write.mode("overwrite").orc(str(tmp_path / "o"))
+    got = DEFAULT.read(spark, "orc", str(tmp_path / "o"))
+    assert sorted(tuple(r) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_avro_gated_with_clear_error(spark):
+    try:
+        df = DEFAULT.read(spark, "avro", "/nowhere")
+        assert df is not None  # spark-avro present: reader built
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
 
 
 def test_jdbc_gated_with_clear_error(spark):
