@@ -337,3 +337,37 @@ def test_two_component_chained_topology(spark, tmp_path):
     charged = rating_in.withColumn("charge", F.col("v") * 2)
     got = sorted((r["s"], r["charge"]) for r in charged.collect())
     assert got == [(1, 200), (3, 140)]  # billing packet (s=2) not seen by B
+
+
+def test_supervisor_stop_race_not_resurrected(spark):
+    """A stop() landing between the supervisor's unlocked scan and its
+    locked rebuild must win: the re-check under the lock (ADVICE r1,
+    engine.py) sees desired_running=False and skips the restart."""
+    mgr = PipelineManager(spark)
+    built = []
+    mgr.register("racer", lambda s: built.append(1))  # builder must not run
+    reg = mgr._pipelines["racer"]
+    reg.desired_running = True  # registered as running, query dead (None)
+
+    class FlipOnSecondAcquire:
+        """RLock wrapper simulating a concurrent stop() that acquires
+        the lock right after the supervisor's snapshot scan."""
+
+        def __init__(self, inner):
+            self.inner = inner
+            self.acquires = 0
+
+        def __enter__(self):
+            self.acquires += 1
+            if self.acquires == 2:  # the per-pipeline rebuild acquire
+                reg.desired_running = False  # the concurrent stop()
+            return self.inner.__enter__()
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    mgr._lock = FlipOnSecondAcquire(mgr._lock)
+    restarted = mgr.check_once()
+    assert restarted == []
+    assert built == []  # builder never invoked after the stop
+    assert reg.restarts == 0
