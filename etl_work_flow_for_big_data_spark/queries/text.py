@@ -365,12 +365,33 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_components",
-    None,  # iterative label propagation — not single-statement SQL;
-    # transitive-exactness pinned by tests/test_dedup_components.py
+    f"""
+    WITH RECURSIVE
+      s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+      n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+            FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      pairs AS (SELECT d1, d2 FROM p
+                JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+                WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5),
+      edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      )
+    SELECT a AS id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS component
+    FROM reach GROUP BY a
+    """,
     doc="I2 transitive near-dup clusters: connected components over "
     "n-gram Jaccard pairs via iterative min-label propagation "
-    "(O(diameter) rounds of equi-joins). Rows-only driver check; the "
-    "greedy single-join variant (dedup_apply) is the oracle-checked twin.",
+    "(O(diameter) rounds of equi-joins; eager checkpoints keep the "
+    "plan O(1) per round). The oracle computes the exact transitive "
+    "closure with a recursive CTE — so even the iterative algorithm "
+    "is hash-checked, not rows-only. The closure is O(cluster²) and "
+    "fine at oracle scale; the engine side stays O(diameter x edges).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import connected_components
