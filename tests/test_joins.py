@@ -50,3 +50,51 @@ def test_disjoint_tiers_fast_path_ok(spark, fact):
         (r["id"], r["tier"]) for r in range_join(fact, tiers, "v").collect()
     )
     assert rows == [(1, "a"), (2, "b")]
+
+
+class TestMergeUpsert:
+    """Batch CDC merge edge semantics (the plain-parquet MERGE INTO)."""
+
+    @pytest.fixture(scope="class")
+    def base(self, spark):
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+
+    def test_update_insert_delete(self, spark, base):
+        from etl_work_flow_for_big_data_spark.operators.transforms import (
+            merge_upsert,
+        )
+
+        updates = spark.createDataFrame(
+            [(2, "B", False), (4, "d", False), (3, None, True)],
+            "id long, v string, deleted boolean",
+        )
+        got = sorted(
+            tuple(r)
+            for r in merge_upsert(base, updates, ["id"], "deleted").collect()
+        )
+        assert got == [(1, "a"), (2, "B"), (4, "d")]
+
+    def test_empty_updates_is_identity(self, spark, base):
+        from etl_work_flow_for_big_data_spark.operators.transforms import (
+            merge_upsert,
+        )
+
+        empty = spark.createDataFrame([], "id long, v string")
+        got = sorted(tuple(r) for r in merge_upsert(base, empty, ["id"]).collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+    def test_tombstone_null_means_live(self, spark, base):
+        from etl_work_flow_for_big_data_spark.operators.transforms import (
+            merge_upsert,
+        )
+
+        updates = spark.createDataFrame(
+            [(2, "B", None)], "id long, v string, deleted boolean"
+        )
+        got = sorted(
+            tuple(r)
+            for r in merge_upsert(base, updates, ["id"], "deleted").collect()
+        )
+        assert (2, "B") in got  # NULL tombstone = not deleted
