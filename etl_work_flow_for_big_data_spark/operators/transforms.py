@@ -134,3 +134,66 @@ def merge_upsert(
     )
     return survivors.unionByName(live)
 
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profiling: null count, exact distinct count,
+    min/max (as strings) per requested column — the landing-zone data
+    health report every ingest pipeline runs.
+
+    Shape: a single aggregate computes every stat for every column
+    (one scan; count_distinct adds its expand internally but stays one
+    pass over the input), then a literal-size stack unpivots to one
+    row per column. At 100 TB: one shuffle of constant-size partials.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = None
+    for c in cols:
+        row = one.select(
+            F.lit(c).alias("column"),
+            (F.col(f"__n_{c}") - F.col(f"__nn_{c}")).cast("bigint").alias("n_nulls"),
+            F.col(f"__nd_{c}").cast("bigint").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_s"),
+            F.col(f"__max_{c}").alias("max_s"),
+        )
+        stacked = row if stacked is None else stacked.unionByName(row)
+    return stacked
+
+
+def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Declarative data-quality rules in ONE pass: each rule is
+    (name, SQL predicate that valid rows satisfy); output is one row
+    per rule with its violation count — the deequ/dbt-test analog of
+    the reference's single hard-coded validity filter
+    (MFramework.cpp:1245-1250), generalized to rules-as-data.
+
+    A violation is a row where the predicate is FALSE **or NULL**
+    (unknown fails the check, matching SQL constraint semantics).
+    All rules evaluate in the same aggregate — one scan, one
+    constant-size shuffle, regardless of rule count.
+    """
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(name)
+        for name, pred in rules
+    ]
+    one = df.agg(*aggs)
+    out = None
+    for name, _ in rules:
+        row = one.select(
+            F.lit(name).alias("rule"), F.col(name).alias("n_violations")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1172,3 +1172,79 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(
         c, changes.unionByName(inserts), ["c_custkey"], tombstone_col="deleted"
     )
+
+
+@query(
+    "profile_columns",
+    """
+    WITH one AS (
+      SELECT COUNT(*)                                  AS n,
+             COUNT(l_returnflag)                       AS nn_rf,
+             COUNT(DISTINCT l_returnflag)              AS nd_rf,
+             MIN(CAST(l_returnflag AS VARCHAR))        AS min_rf,
+             MAX(CAST(l_returnflag AS VARCHAR))        AS max_rf,
+             COUNT(l_quantity)                         AS nn_q,
+             COUNT(DISTINCT l_quantity)                AS nd_q,
+             MIN(CAST(l_quantity AS VARCHAR))          AS min_q,
+             MAX(CAST(l_quantity AS VARCHAR))          AS max_q,
+             COUNT(l_partkey)                          AS nn_p,
+             COUNT(DISTINCT l_partkey)                 AS nd_p,
+             MIN(CAST(l_partkey AS VARCHAR))           AS min_p,
+             MAX(CAST(l_partkey AS VARCHAR))           AS max_p
+      FROM lineitem
+    )
+    SELECT 'l_returnflag' AS column, CAST(n - nn_rf AS BIGINT) AS n_nulls,
+           CAST(nd_rf AS BIGINT) AS n_distinct, min_rf AS min_s, max_rf AS max_s
+    FROM one
+    UNION ALL
+    SELECT 'l_quantity', CAST(n - nn_q AS BIGINT), CAST(nd_q AS BIGINT), min_q, max_q FROM one
+    UNION ALL
+    SELECT 'l_partkey', CAST(n - nn_p AS BIGINT), CAST(nd_p AS BIGINT), min_p, max_p FROM one
+    """,
+    doc="Column profiling (ingest health report): null count, exact "
+    "distinct, min/max per column in ONE aggregate pass + "
+    "literal-size unpivot — one shuffle of constant-size partials.",
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        profile_columns,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, ["l_returnflag", "l_quantity", "l_partkey"])
+
+
+@query(
+    "dq_validate",
+    """
+    WITH one AS (
+      SELECT
+        SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END)  AS qty_positive,
+        SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS discount_unit_range,
+        SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS returnflag_domain,
+        SUM(CASE WHEN NOT COALESCE(l_shipdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS shipdate_sane
+      FROM lineitem
+    )
+    SELECT 'qty_positive' AS rule, CAST(qty_positive AS BIGINT) AS n_violations FROM one
+    UNION ALL SELECT 'discount_unit_range', CAST(discount_unit_range AS BIGINT) FROM one
+    UNION ALL SELECT 'returnflag_domain', CAST(returnflag_domain AS BIGINT) FROM one
+    UNION ALL SELECT 'shipdate_sane', CAST(shipdate_sane AS BIGINT) FROM one
+    """,
+    doc="Declarative data-quality rules (rules-as-data, the deequ/dbt "
+    "analog of the reference's hard-coded validity filter "
+    "MFramework.cpp:1245-1250): every rule evaluates in the SAME "
+    "single-pass aggregate; unknown (NULL) fails the check.",
+)
+def q_dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.transforms import dq_validate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dq_validate(
+        li,
+        [
+            ("qty_positive", "l_quantity > 0"),
+            ("discount_unit_range", "l_discount BETWEEN 0 AND 1"),
+            ("returnflag_domain", "l_returnflag IN ('A','N','R')"),
+            ("shipdate_sane", "l_shipdate >= TIMESTAMP '1990-01-01 00:00:00'"),
+        ],
+    )
