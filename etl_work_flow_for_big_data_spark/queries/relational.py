@@ -1248,3 +1248,33 @@ def q_dq_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("shipdate_sane", "l_shipdate >= TIMESTAMP '1990-01-01 00:00:00'"),
         ],
     )
+
+
+@query(
+    "join_salted",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Skew-salted fact join: the fact side gets a random salt, the "
+    "dim side explodes n_salts times, the hot key spreads over "
+    "n_salts reducers — and the RESULT is provably identical to the "
+    "plain join (the oracle IS the plain join). The plan, not the "
+    "answer, is what salting changes.",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.distribution import (
+        salted_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return salted_join(o, c, "o_custkey", n_salts=8).select(
+        "o_orderkey",
+        "o_custkey",
+        "c_mktsegment",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )

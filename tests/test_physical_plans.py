@@ -149,3 +149,13 @@ def test_llm_clean_corpus_join_discipline(spark, sf_dir):
     # exprIds render as text#NNN; text_hash digests may shuffle, raw
     # text must not
     assert not re.search(r"hashpartitioning\(text#", plan)
+
+
+def test_join_salted_spreads_hot_key(spark, sf_dir):
+    """The salted join's shuffle keys include the salt (hot key spread
+    over n_salts reducers) while the oracle-identical result carries no
+    salt column."""
+    df = REGISTRY["join_salted"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert "__salt" not in df.columns
