@@ -134,3 +134,44 @@ def test_kv_text_write_separator_clash_fails_in_pass(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="separator .* occurs inside"):
         write_kv_text(bad, str(tmp_path / "bad"))
+
+
+def test_progress_logger_emits_log_packets(spark, tmp_path):
+    """G4 x A7: the listener turns query lifecycle events into
+    LoggerWriter-shaped packets (s/c/l/m) that the log sink can carry."""
+    import time as _time
+
+    from etl_work_flow_for_big_data_spark.streaming.monitor import (
+        attach_progress_logger,
+    )
+
+    logger = attach_progress_logger(spark, component="TestMonitor")
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        (indir / "a.txt").write_text("hello\nworld\n")
+        stream = spark.readStream.format("text").load(str(indir))
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        # listener bus delivers asynchronously; poll briefly
+        got = []
+        for _ in range(40):
+            got += logger.take()
+            if any("started" in p["m"] for p in got) and any(
+                "terminated" in p["m"] for p in got
+            ):
+                break
+            _time.sleep(0.25)
+        assert any("started" in p["m"] for p in got)
+        assert any("terminated cleanly" in p["m"] for p in got)
+        for p in got:
+            assert p["s"] == "1" and p["c"] == "TestMonitor"
+            assert p["l"] in "IDWCEAN"
+            assert p["m"].count("|") >= 2  # ts|session|message
+    finally:
+        spark.streams.removeListener(logger)
