@@ -255,6 +255,49 @@ def kafka_packets(df: DataFrame, sep: str | None = None) -> DataFrame:
     return parse_packets(df.select(text.alias("payload"), *keep))
 
 
+def kafka_wire_frame(
+    df: DataFrame, attrs_col: str = "attrs", key_col: str | None = "s"
+) -> DataFrame:
+    """Shape packets for the kafka sink: serialize the attrs map to
+    the reference's ``k=v\\n`` wire text as ``value`` (bytes), with an
+    optional partition ``key``. The producer is then just
+    ``kafka_wire_frame(df).write.format('kafka')...`` — this function
+    is the broker-independent (and unit-tested) half of A2."""
+    from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
+
+    value = F.encode(serialize_map(F.col(attrs_col)), "UTF-8").alias("value")
+    if key_col is None:
+        return df.select(value)
+    key = F.encode(F.coalesce(F.col(key_col).cast("string"), F.lit("")), "UTF-8")
+    return df.select(key.alias("key"), value)
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap: str,
+    topic: str,
+    attrs_col: str = "attrs",
+    key_col: str | None = "s",
+) -> None:
+    """A2 queue producer on kafka: wire-serialize and publish. Needs
+    the connector jar (same gate as the readers)."""
+    wire = kafka_wire_frame(df, attrs_col, key_col)
+    try:
+        (
+            wire.write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "kafka sink needs the spark-sql-kafka-0-10 connector jar on "
+            "the classpath (spark.jars.packages="
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+            f"underlying error: {exc}"
+        ) from exc
+
+
 def _read_kafka(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
     """Batch kafka scan; ``path`` is the bootstrap-server list."""
     o = kafka_reader_options(path, **opts)

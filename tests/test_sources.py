@@ -220,3 +220,22 @@ class TestKafka:
                 assert "value" in df.columns
             except RuntimeError as exc:
                 assert "spark-sql-kafka" in str(exc)
+
+
+def test_kafka_wire_frame_roundtrip(spark):
+    """A2 producer shaping: attrs map → key/value bytes in the exact
+    wire format; feeding it back through kafka_packets round-trips."""
+    from etl_work_flow_for_big_data_spark.sources.registry import (
+        kafka_packets,
+        kafka_wire_frame,
+    )
+
+    df = spark.createDataFrame(
+        [({"s": "7", "t": "rating", "x": "a=b"},)], "attrs map<string,string>"
+    )
+    wire = kafka_wire_frame(df)
+    row = wire.collect()[0]
+    assert bytes(row["key"]) == b"7"
+    assert bytes(row["value"]) == b"s=7\nt=rating\nx=a=b\n"
+    back = kafka_packets(wire).collect()[0]
+    assert back["s"] == 7 and back["attrs"]["x"] == "a=b"
