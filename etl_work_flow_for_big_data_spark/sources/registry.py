@@ -268,7 +268,14 @@ def kafka_wire_frame(
     value = F.encode(serialize_map(F.col(attrs_col)), "UTF-8").alias("value")
     if key_col is None:
         return df.select(value)
-    key = F.encode(F.coalesce(F.col(key_col).cast("string"), F.lit("")), "UTF-8")
+    # key from a top-level column if present, else from the attrs map
+    # (the reference's routing key 's' normally lives inside the packet)
+    key_src = (
+        F.col(key_col).cast("string")
+        if key_col in df.columns
+        else F.element_at(F.col(attrs_col), F.lit(key_col))
+    )
+    key = F.encode(F.coalesce(key_src, F.lit("")), "UTF-8")
     return df.select(key.alias("key"), value)
 
 
