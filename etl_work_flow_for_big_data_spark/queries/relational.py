@@ -1278,3 +1278,28 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round("o_totalprice", 2).alias("totalprice"),
     )
+
+
+@query(
+    "window_ntile",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 2), o_orderkey)
+                AS BIGINT) AS price_quartile
+    FROM orders
+    """,
+    doc="E1 quantile binning: NTILE(4) over a deterministic total order "
+    "(rounded price + key tie-break) — the feature-bucketing window "
+    "next to rank/dense_rank. A global-order window has ONE ordering "
+    "partition; at 100 TB bucket within a partition key instead (the "
+    "rank query shows that shape) or use approx quantile cutoffs.",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.round("o_totalprice", 2), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    )

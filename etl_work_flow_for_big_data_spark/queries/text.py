@@ -581,3 +581,34 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_id"),
     )
+
+
+@query(
+    "text_editdist",
+    """
+    SELECT p.c_custkey AS a_key, q.c_custkey AS b_key,
+           CAST(levenshtein(p.c_name, q.c_name) AS INT) AS edit_dist
+    FROM customer p JOIN customer q ON q.c_custkey = p.c_custkey + 1
+    WHERE p.c_custkey < 200
+    """,
+    doc="I4/B8 string-similarity scalar: levenshtein distance between "
+    "neighboring customer names — the short-string near-dup metric "
+    "(shingle Jaccard degenerates below ~k tokens). Narrow per-pair "
+    "expression after an equi-join; both engines implement the same "
+    "Wagner-Fischer distance.",
+)
+def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    p = c.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("a_key"), F.col("c_name").alias("a_name")
+    )
+    q = c.select(
+        (F.col("c_custkey") - 1).alias("a_key"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+    )
+    return p.join(q, "a_key").select(
+        "a_key",
+        "b_key",
+        F.levenshtein("a_name", "b_name").cast("int").alias("edit_dist"),
+    )
