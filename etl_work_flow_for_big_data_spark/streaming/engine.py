@@ -123,6 +123,60 @@ class PipelineManager:
                 f"{ACTION_START}/{ACTION_STOP}/{ACTION_RESTART}"
             )
 
+    # -- wire-packet control dispatch (the control thread itself) ------
+    def dispatch_control_packet(
+        self, payload: str, id_to_name: dict[int, str]
+    ) -> str:
+        """Consume one raw control wire packet exactly like the
+        reference's control thread (MFramework.cpp:1660-1756): parse
+        separator-TERMINATED ``s=<session id>`` / ``a=<action>``
+        entries with a find-loop, then dispatch. Reference quirks kept
+        faithfully:
+
+        - ``startsession`` does NOT honor the id-0 broadcast (only
+          stop/restart do; start with an unknown/0 id is logged and
+          ignored — :1685-1689 vs :1693-1722);
+        - an unknown session id is logged and ignored, never an error
+          (:1739-1742);
+        - a trailing non-terminated segment is dropped by the
+          find-loop.
+
+        Returns a short status string ('dispatched', 'invalid-id',
+        'invalid-packet') for observability; the reference only logs.
+        """
+        sid: int | None = None
+        action = ""
+        start = 0
+        while (end := payload.find("\n", start)) != -1:
+            entry = payload[start:end]
+            if len(entry) >= 2 and entry[1] == "=":
+                if entry[0] == "s":
+                    try:
+                        sid = int(entry[2:])
+                    except ValueError:
+                        sid = None
+                elif entry[0] == "a":
+                    action = entry[2:]
+            start = end + 1
+        if sid is None or not action:
+            return "invalid-packet"
+        if action == ACTION_START:
+            name = id_to_name.get(sid)
+            if name is None or name not in self._pipelines:
+                return "invalid-id"
+            self.start(name)
+            return "dispatched"
+        if action in (ACTION_STOP, ACTION_RESTART):
+            if sid == 0:
+                self.control(action, None)
+                return "dispatched"
+            name = id_to_name.get(sid)
+            if name is None or name not in self._pipelines:
+                return "invalid-id"
+            self.control(action, name)
+            return "dispatched"
+        return "invalid-packet"
+
     # -- supervision (G4) ----------------------------------------------
     def check_once(self) -> list[str]:
         """One monitor pass: restart every pipeline that should be

@@ -371,3 +371,48 @@ def test_supervisor_stop_race_not_resurrected(spark):
     assert restarted == []
     assert built == []  # builder never invoked after the stop
     assert reg.restarts == 0
+
+
+def test_control_packet_dispatch_reference_semantics(spark, tmp_path):
+    """Wire-packet control dispatch mirrors the reference's control
+    thread exactly (MFramework.cpp:1660-1756): terminated-entries
+    find-loop, id-0 broadcast for stop/restart but NOT start, unknown
+    ids logged-and-ignored."""
+    indir = tmp_path / "in"
+    _write_events_json(indir, _BASE)
+
+    def builder(name):
+        def build(s):
+            stream = SOURCES.read_stream(s, "json", str(indir), EVENTS_SCHEMA)
+            return (
+                stream.writeStream.format("noop")
+                .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+                .start()
+            )
+
+        return build
+
+    mgr = PipelineManager(spark)
+    mgr.register("alpha", builder("alpha"))
+    mgr.register("beta", builder("beta"))
+    ids = {1: "alpha", 2: "beta"}
+
+    assert mgr.dispatch_control_packet("s=1\na=startsession\n", ids) == "dispatched"
+    assert mgr.status()["alpha"]["active"]
+    assert not mgr.status()["beta"]["active"]
+
+    # start does NOT broadcast on id 0 (reference quirk)
+    assert mgr.dispatch_control_packet("s=0\na=startsession\n", ids) == "invalid-id"
+    assert not mgr.status()["beta"]["active"]
+
+    # stop broadcasts on id 0
+    mgr.start("beta")
+    assert mgr.dispatch_control_packet("s=0\na=stopsession\n", ids) == "dispatched"
+    st = mgr.status()
+    assert not st["alpha"]["active"] and not st["beta"]["active"]
+
+    # unknown id ignored, trailing partial entry dropped
+    assert mgr.dispatch_control_packet("s=99\na=stopsession\n", ids) == "invalid-id"
+    assert mgr.dispatch_control_packet("s=1\na=startsession", ids) == "invalid-packet"
+    assert mgr.dispatch_control_packet("garbage\n", ids) == "invalid-packet"
+    mgr.stop()
