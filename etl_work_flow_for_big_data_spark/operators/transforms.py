@@ -84,11 +84,24 @@ def rate(
 
 
 @operator("route_by")
-def route_by(df: DataFrame, key: str = "t", out: str = "route") -> DataFrame:
+def route_by(
+    df: DataFrame,
+    key: str = "t",
+    out: str = "route",
+    invalid: str | None = "dead-letter",
+) -> DataFrame:
     """F1: stamp the content-based route (the writer-demux 't' key,
     MFramework.cpp:1372-1377). Physical fan-out happens at the sink
-    (partitionBy(route))."""
-    return df.withColumn(out, F.coalesce(F.col(key), F.lit("dead-letter")))
+    (partitionBy(route)).
+
+    The reference LOGS-AND-DROPS packets with no component type
+    ("invalid packet", MFramework.cpp:1468-1471); pass ``invalid=None``
+    to mirror that exactly. The default instead keeps them on a
+    ``dead-letter`` route — a deliberate deviation so nothing is
+    silently lost and the invalid stream stays auditable at the sink."""
+    if invalid is None:
+        return df.filter(F.col(key).isNotNull()).withColumn(out, F.col(key))
+    return df.withColumn(out, F.coalesce(F.col(key), F.lit(invalid)))
 
 
 @operator("repartition_by_key")

@@ -137,3 +137,18 @@ def test_spec_from_dataframe(spark):
     df = spark.createDataFrame([("s=5\nt=x\n",), ("junk",)], "payload string")
     out = spec.compile(df).select("s", "route").collect()
     assert [(r["s"], r["route"]) for r in out] == [(5, "x")]
+
+
+def test_route_by_invalid_modes(spark):
+    """Default keeps missing-'t' packets on a dead-letter route
+    (auditable); invalid=None mirrors the reference's log-and-drop
+    (MFramework.cpp:1468-1471)."""
+    from etl_work_flow_for_big_data_spark.operators.transforms import route_by
+
+    df = spark.createDataFrame(
+        [("rating",), (None,)], "t string"
+    )
+    kept = {r["route"] for r in route_by(df).collect()}
+    assert kept == {"rating", "dead-letter"}
+    dropped = [r["route"] for r in route_by(df, invalid=None).collect()]
+    assert dropped == ["rating"]
