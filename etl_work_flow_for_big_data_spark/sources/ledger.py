@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class FileLedger:
+    """Marker-file once-only ledger with Dir1 (live) / Dir2 (backup)
+    — the literal FWorkCheckpoint semantics: mark before process,
+    back up on success, restore Dir2→Dir1 on rollback
+    (MFramework.cpp:1286-1302, :886-903)."""
+
     def __init__(self, ledger_dir: str) -> None:
         self.dir1 = os.path.join(ledger_dir, "Dir1")
         self.dir2 = os.path.join(ledger_dir, "Dir2")

@@ -28,6 +28,11 @@ from pyspark.sql.types import StructType
 
 
 class SourceRegistry:
+    """Named registries for batch readers, streaming readers, and
+    fetch protocols — the engine's ProtocolFactory analog: plugins
+    register under a string key and resolve at use time with a clear
+    error listing what IS registered."""
+
     def __init__(self) -> None:
         self._batch: dict[str, Callable[..., DataFrame]] = {}
         self._stream: dict[str, Callable[..., DataFrame]] = {}

@@ -45,6 +45,9 @@ def sliding_agg(
     slide: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
+    """Sliding event-time window (each event lands in window/slide
+    overlapping windows); state bounded by the watermark like
+    tumbling_agg. Batch twin: the oracled ``window_sliding`` query."""
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window, slide).alias("w"))
