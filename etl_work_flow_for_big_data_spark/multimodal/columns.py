@@ -102,6 +102,34 @@ def extract_features(df: DataFrame, id_col: str, content_col: str = "content") -
     return src.mapInPandas(fake_featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "id long, n_bytes long, resized binary"
+
+
+def resize_media(
+    df: DataFrame, id_col: str, content_col: str = "content", factor: int = 4
+) -> DataFrame:
+    """Deterministic fake resize (image-downsample twin): keep every
+    ``factor``-th byte — the 1-to-1 binary→binary mapInPandas shape a
+    real thumbnailer/resampler uses (smaller payload out, same row
+    count). Exact values are SQL-recomputable over ASCII fixtures, so
+    the Python stage is oracle-checkable like the feature/frame
+    fakes."""
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(b)[::factor] for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "resized": resized,
+                }
+            )
+
+    return src.mapInPandas(fake_resize, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "id long, frame_idx int, frame_bytes binary"
 
 

@@ -1,9 +1,9 @@
 """Multimodal query family (SURVEY.md §2.I I5) over ``documents``
 treated as opaque binary media.
 
-All three queries are fully hash-oracle-checked — including the two
-mapInPandas stages (``mm_features``, ``mm_frames``), whose
-deterministic fake decoders emit md5/length-based outputs an SQL
+All four queries are fully hash-oracle-checked — including the three
+mapInPandas stages (``mm_features``, ``mm_frames``, ``mm_resize``),
+whose deterministic fake decoders emit md5/length-based outputs an SQL
 oracle recomputes exactly; unit tests additionally pin exact values.
 """
 
@@ -108,4 +108,35 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame_bytes").cast("bigint").alias("n_frame_bytes"),
         F.md5("frame_bytes").alias("frame_hash"),
+    )
+
+
+@query(
+    "mm_resize",
+    """
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT)              AS n_bytes,
+           CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT)  AS n_resized,
+           md5(array_to_string(list_transform(
+               range(0, CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT)),
+               __i -> substring(text, CAST(__i * 4 + 1 AS BIGINT), 1)), ''))
+                                                                   AS resized_hash
+    FROM documents
+    """,
+    doc="I5 resize (image-downsample twin): keep every 4th byte via a "
+    "1-to-1 binary mapInPandas stage; projected to length + md5 so "
+    "the Python stage is hash-oracle-checked (char stride == byte "
+    "stride on the ASCII fixture corpus; a real image payload has no "
+    "SQL oracle).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.multimodal.columns import resize_media
+
+    d = attach_binary(load_table(spark, sf_dir, "documents"), "text")
+    r = resize_media(d, "doc_id", factor=4)
+    return r.select(
+        "id",
+        "n_bytes",
+        F.octet_length("resized").cast("bigint").alias("n_resized"),
+        F.md5("resized").alias("resized_hash"),
     )

@@ -78,3 +78,12 @@ def test_metadata_scan_prunes_payload(media, tmp_path):
         .toString()
     )
     assert "content" not in plan
+
+
+def test_resize_media_strides_bytes(media):
+    from etl_work_flow_for_big_data_spark.multimodal.columns import resize_media
+
+    rows = {r["id"]: r for r in resize_media(media, "doc_id", factor=4).collect()}
+    assert bytes(rows[1]["resized"]) == b"hello world"[::4]
+    assert rows[2]["n_bytes"] == 130
+    assert len(bytes(rows[2]["resized"])) == 33  # ceil(130/4)
