@@ -194,6 +194,11 @@ def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     All rules evaluate in the same aggregate — one scan, one
     constant-size shuffle, regardless of rule count.
     """
+    if not rules:
+        raise ValueError("dq_validate needs at least one (name, predicate) rule")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {sorted(names)}")
     aggs = [
         F.sum(
             F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)

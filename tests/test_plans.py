@@ -152,3 +152,29 @@ def test_route_by_invalid_modes(spark):
     assert kept == {"rating", "dead-letter"}
     dropped = [r["route"] for r in route_by(df, invalid=None).collect()]
     assert dropped == ["rating"]
+
+
+def test_dq_validate_and_profile_edges(spark):
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        dq_validate,
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "id long, v string"
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in dq_validate(
+            df, [("id_present", "id IS NOT NULL"), ("v_present", "v IS NOT NULL")]
+        ).collect()
+    }
+    assert got == {"id_present": 1, "v_present": 1}
+    with pytest.raises(ValueError, match="at least one"):
+        dq_validate(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        dq_validate(df, [("r", "true"), ("r", "false")])
+
+    prof = {r["column"]: r for r in profile_columns(df, ["id", "v"]).collect()}
+    assert prof["id"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 2
+    assert prof["v"]["min_s"] == "a" and prof["v"]["max_s"] == "c"
