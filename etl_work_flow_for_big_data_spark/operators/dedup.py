@@ -270,3 +270,42 @@ def connected_components(
             f"connected_components did not converge in {max_iters} iterations"
         )
     return labels
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= ``min_shared``
+    k-gram shingles with any benchmark document — the standard
+    eval-set-leakage screen a training corpus runs before release.
+
+    Shape: inverted shingle index on both sides, equi-join on the
+    shingle (the benchmark side is eval-set-sized → broadcast), count
+    shared shingles per corpus doc. Returns (id, n_shared,
+    contaminated); docs absent from the join have n_shared = 0.
+    At 100 TB: the corpus-side index streams; only benchmark shingles
+    broadcast; no all-pairs anything.
+    """
+    corpus_idx = shingle_index(df, text_col, id_col, k)
+    bench_sh = (
+        shingle_index(benchmark, text_col, id_col, k).select("sh").distinct()
+    )
+    shared = (
+        corpus_idx.join(F.broadcast(bench_sh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(shared, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )

@@ -612,3 +612,36 @@ def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_key",
         F.levenshtein("a_name", "b_name").cast("int").alias("edit_dist"),
     )
+
+
+@query(
+    "decontaminate",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_DUCK_SHINGLES}) AS sh
+      FROM documents WHERE doc_id < 5
+    ),
+    corpus AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+    shared AS (
+      SELECT c.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM corpus c JOIN bench b ON c.sh = b.sh
+      GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           COALESCE(s.n_shared, 0)      AS n_shared,
+           COALESCE(s.n_shared, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN shared s ON d.doc_id = s.id
+    """,
+    doc="I2/I4 benchmark decontamination: flag training docs sharing "
+    "any 5-gram with the eval set (here: docs 0-4 standing in as the "
+    "benchmark) — inverted-index equi-join with the benchmark side "
+    "broadcast; the eval-leakage screen every corpus release runs.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 5)
+    return contamination_flags(d, bench, "text", "doc_id", k=5, min_shared=1)
