@@ -348,10 +348,35 @@ DEFAULT.register("kafka", _read_kafka_stream, streaming=True)
 # -- fetch protocols -----------------------------------------------------
 
 
+def _atomic_landing(dst: str):
+    """Context manager yielding a temp path that is atomically renamed
+    to ``dst`` on success and removed on failure — a partially
+    transferred file must NEVER be visible in the landing zone (the
+    file-stream/ledger consumers would ingest it)."""
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def cm():
+        tmp = dst + ".part"
+        try:
+            yield tmp
+            os.replace(tmp, dst)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+            raise
+
+    return cm()
+
+
 def _fetch_local(src: str, dst: str, **_: Any) -> str:
     """'local' protocol: copy into the landing zone
-    (ProtocolFactory's LOCAL plugin analog)."""
-    return shutil.copy(src, dst)
+    (ProtocolFactory's LOCAL plugin analog); atomic like the network
+    fetches."""
+    with _atomic_landing(dst) as tmp:
+        shutil.copy(src, tmp)
+    return dst
 
 
 def _parse_ftp_url(src: str, opts: dict[str, Any]):
@@ -386,7 +411,7 @@ def _fetch_ftp_factory(secure: bool):
             ftp.login(user, password)
             if secure:
                 ftp.prot_p()  # encrypt the data channel as well
-            with open(dst, "wb") as f:
+            with _atomic_landing(dst) as tmp, open(tmp, "wb") as f:
                 ftp.retrbinary(f"RETR {path}", f.write)
         finally:
             try:
@@ -417,7 +442,8 @@ def _fetch_sftp(src: str, dst: str, **opts: Any) -> str:
     with paramiko.Transport((host, port)) as transport:
         transport.connect(username=user, password=password)
         sftp = paramiko.SFTPClient.from_transport(transport)
-        sftp.get(path, dst)
+        with _atomic_landing(dst) as tmp:
+            sftp.get(path, tmp)
     return dst
 
 

@@ -239,3 +239,30 @@ def test_kafka_wire_frame_roundtrip(spark):
     assert bytes(row["value"]) == b"s=7\nt=rating\nx=a=b\n"
     back = kafka_packets(wire).collect()[0]
     assert back["s"] == 7 and back["attrs"]["x"] == "a=b"
+
+
+def test_failed_fetch_leaves_no_partial_file(tmp_path):
+    """A failed transfer must leave NOTHING in the landing zone — not
+    the destination, not a temp — or downstream file-stream/ledger
+    consumers would ingest a partial file."""
+    import os
+
+    from ftplib import error_perm
+
+    from tests.ftp_loopback import LoopbackFtpServer
+
+    root = tmp_path / "remote"
+    root.mkdir()
+    srv = LoopbackFtpServer(str(root)).start()
+    dst = tmp_path / "landing.cdr"
+    try:
+        with pytest.raises(error_perm):
+            DEFAULT.fetch("ftp", f"ftp://127.0.0.1:{srv.port}/absent.cdr", str(dst))
+    finally:
+        srv.stop()
+    assert not dst.exists()
+    assert not os.path.exists(str(dst) + ".part")
+    # local fetch of a missing source behaves the same
+    with pytest.raises(FileNotFoundError):
+        DEFAULT.fetch("local", str(tmp_path / "missing"), str(dst))
+    assert not dst.exists() and not os.path.exists(str(dst) + ".part")
