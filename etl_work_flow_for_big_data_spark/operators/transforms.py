@@ -123,12 +123,20 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: list[str],
     tombstone_col: str | None = None,
+    version_col: str | None = None,
 ) -> DataFrame:
     """Batch CDC merge: rows of ``updates`` replace same-key rows of
     ``base``; new keys append; rows with ``tombstone_col`` true are
     deleted. The plain-parquet answer to MERGE INTO (no lakehouse
     dependency): survivors = base ANTI-JOIN update-keys, result =
     survivors UNION updates-minus-tombstones.
+
+    A CDC batch may carry several changes for one key; pass
+    ``version_col`` to apply last-write-wins (max version per key,
+    key-ordered tie-break impossible: equal versions keep an arbitrary
+    one — give versions a total order). Without it, duplicate-key
+    updates are emitted as-is (the caller's batch is trusted to be
+    key-unique, the common compacted-CDC contract).
 
     At 100 TB: one shuffle on the merge key for the anti-join (or zero
     with pre-bucketed layouts, operators/distribution.py) and a
@@ -137,6 +145,15 @@ def merge_upsert(
     base atomically at the sink (write-then-swap), exactly how the
     reference's batch jobs replace their landing outputs.
     """
+    if version_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", version_col)
+        )
     upd_keys = updates.select(*key_cols).distinct()
     survivors = base.join(upd_keys, key_cols, "left_anti")
     live = (

@@ -98,3 +98,20 @@ class TestMergeUpsert:
             for r in merge_upsert(base, updates, ["id"], "deleted").collect()
         )
         assert (2, "B") in got  # NULL tombstone = not deleted
+
+    def test_version_last_write_wins(self, spark, base):
+        from etl_work_flow_for_big_data_spark.operators.transforms import (
+            merge_upsert,
+        )
+
+        updates = spark.createDataFrame(
+            [(2, "B1", 1), (2, "B2", 2), (4, "d", 1)],
+            "id long, v string, ver int",
+        )
+        got = sorted(
+            tuple(r)
+            for r in merge_upsert(
+                base, updates, ["id"], version_col="ver"
+            ).collect()
+        )
+        assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
