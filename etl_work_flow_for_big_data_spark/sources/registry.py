@@ -451,3 +451,60 @@ DEFAULT.register_protocol("local", _fetch_local)
 DEFAULT.register_protocol("ftp", _fetch_ftp_factory(secure=False))
 DEFAULT.register_protocol("ftps", _fetch_ftp_factory(secure=True))
 DEFAULT.register_protocol("sftp", _fetch_sftp)
+
+
+# -- sink registry (the write half of the factory) -----------------------
+
+
+class SinkRegistry:
+    """Named batch writers — symmetric with the reader registry so a
+    pipeline spec can name its output format the same way the
+    reference's writer threads are configured by component type
+    (MFramework.cpp:1333-1491)."""
+
+    def __init__(self) -> None:
+        self._sinks: dict[str, Callable[..., None]] = {}
+
+    def register(self, fmt: str, fn: Callable[..., None]) -> None:
+        self._sinks[fmt] = fn
+
+    def write(self, fmt: str, df: DataFrame, path: str, **opts: Any) -> None:
+        try:
+            fn = self._sinks[fmt]
+        except KeyError:
+            raise KeyError(
+                f"unknown sink format {fmt!r}; registered: {sorted(self._sinks)}"
+            ) from None
+        fn(df, path, **opts)
+
+    def formats(self) -> list[str]:
+        return sorted(self._sinks)
+
+
+SINKS = SinkRegistry()
+
+
+def _file_writer(fmt: str):
+    def fn(
+        df: DataFrame,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        **opts: Any,
+    ) -> None:
+        w = df.write.mode(mode).options(**opts)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.format(fmt).save(path)
+
+    return fn
+
+
+for _fmt in ("parquet", "csv", "json", "text", "orc"):
+    SINKS.register(_fmt, _file_writer(_fmt))
+SINKS.register("noop", lambda df, path, **o: df.write.mode("overwrite").format("noop").save())
+SINKS.register("kv_text", lambda df, path, **o: write_kv_text(df, path, **o))
+SINKS.register(
+    "kafka",
+    lambda df, path, topic="", **o: write_kafka(df, path, topic, **o),
+)

@@ -266,3 +266,27 @@ def test_failed_fetch_leaves_no_partial_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         DEFAULT.fetch("local", str(tmp_path / "missing"), str(dst))
     assert not dst.exists() and not os.path.exists(str(dst) + ".part")
+
+
+def test_sink_registry_roundtrips(spark, tmp_path):
+    """Write half of the factory: named sinks mirror the reader
+    registry; parquet/json/kv_text round-trip through both."""
+    from etl_work_flow_for_big_data_spark.sources.registry import SINKS
+
+    assert set(SINKS.formats()) >= {
+        "parquet", "csv", "json", "text", "orc", "kv_text", "kafka", "noop"
+    }
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    SINKS.write("parquet", df, str(tmp_path / "p"))
+    assert DEFAULT.read(spark, "parquet", str(tmp_path / "p")).count() == 2
+    SINKS.write("json", df, str(tmp_path / "j"), partition_by=["v"])
+    back = DEFAULT.read(spark, "json", str(tmp_path / "j"))
+    assert back.count() == 2 and "v" in back.columns
+
+    pk = spark.createDataFrame([({"s": "1", "t": "x"},)], "attrs map<string,string>")
+    SINKS.write("kv_text", pk, str(tmp_path / "kv"))
+    got = DEFAULT.read(spark, "kv_text", str(tmp_path / "kv")).collect()[0]
+    assert got["s"] == 1 and got["t"] == "x"
+
+    with pytest.raises(KeyError, match="iceberg"):
+        SINKS.write("iceberg", df, "/nowhere")
