@@ -178,3 +178,45 @@ def test_dq_validate_and_profile_edges(spark):
     prof = {r["column"]: r for r in profile_columns(df, ["id", "v"]).collect()}
     assert prof["id"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 2
     assert prof["v"]["min_s"] == "a" and prof["v"]["max_s"] == "c"
+
+
+def test_run_batch_pipeline_end_to_end(spark, tmp_path):
+    """One-call component run: kv_text landing files -> compiled
+    operator chain -> routed parquet output, every piece resolved by
+    name from its registry (the MFramework::Run batch analog)."""
+    import etl_work_flow_for_big_data_spark.operators.transforms  # noqa: F401
+    from etl_work_flow_for_big_data_spark.plans.runner import (
+        IOBinding,
+        run_batch_pipeline,
+    )
+    from etl_work_flow_for_big_data_spark.plans.spec import PipelineSpec
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "in.cdr").write_text(
+        "s=1|t=rating|v=100\ns=2|t=billing|v=50\nt=orphan\n"
+    )
+    spec = PipelineSpec.from_rows(
+        "mediation",
+        [
+            {"session_id": 1, "operator_name": "parse_packets",
+             "next_session_id": 2},
+            {"session_id": 2, "operator_name": "filter_valid",
+             "params": {"required": "s"}, "next_session_id": 3},
+            {"session_id": 3, "operator_name": "route_by",
+             "next_component_type": "rating"},
+        ],
+    )
+    out_dir = tmp_path / "out"
+    out = run_batch_pipeline(
+        spark,
+        spec,
+        IOBinding("kv_text", str(landing)),
+        IOBinding("parquet", str(out_dir)),
+    )
+    assert "route" in out.columns
+    back = spark.read.parquet(str(out_dir))
+    rows = {r["s"]: r["route"] for r in back.collect()}
+    assert rows == {1: "rating", 2: "billing"}  # orphan dropped
+    # routed partition layout on disk (partition pruning at read time)
+    assert (out_dir / "route=rating").exists()
