@@ -166,22 +166,29 @@ def merge_upsert(
 
 
 
-def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One-pass column profiling: null count, exact distinct count,
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Single-aggregate column profiling: null count, distinct count,
     min/max (as strings) per requested column — the landing-zone data
     health report every ingest pipeline runs.
 
-    Shape: a single aggregate computes every stat for every column
-    (one scan; count_distinct adds its expand internally but stays one
-    pass over the input), then a literal-size stack unpivots to one
-    row per column. At 100 TB: one shuffle of constant-size partials.
+    ``exact_distinct=True`` (the oracle-checkable default) uses
+    ``countDistinct`` — Spark plans multiple distinct aggregates via
+    an EXPAND that replicates every input row per profiled column, so
+    the scan effectively costs (n_cols + 1)×. That is fine for audits
+    and small dims; at 100 TB pass ``exact_distinct=False`` for HLL
+    sketches (``approx_count_distinct``, ~2% error): constant-size
+    state, NO expand, a true single pass. The literal-size unpivot at
+    the end shuffles one constant-size row either way.
     """
+    nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__n_{c}"),
             F.count(c).alias(f"__nn_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            nd(c).alias(f"__nd_{c}"),
             F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
             F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
         ]

@@ -220,3 +220,19 @@ def test_run_batch_pipeline_end_to_end(spark, tmp_path):
     assert rows == {1: "rating", 2: "billing"}  # orphan dropped
     # routed partition layout on disk (partition pruning at read time)
     assert (out_dir / "route=rating").exists()
+
+
+def test_profile_columns_approx_path_no_expand(spark):
+    """The scale path (exact_distinct=False) must not plan an EXPAND —
+    HLL sketches keep the profile a true single pass."""
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        profile_columns,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS a", "id % 13 AS b")
+    exact = profile_columns(df, ["a", "b"], exact_distinct=True)
+    approx = profile_columns(df, ["a", "b"], exact_distinct=False)
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    assert abs(got["a"] - 7) <= 1 and abs(got["b"] - 13) <= 1
