@@ -173,14 +173,15 @@ def profile_columns(
     min/max (as strings) per requested column — the landing-zone data
     health report every ingest pipeline runs.
 
-    ``exact_distinct=True`` (the oracle-checkable default) uses
-    ``countDistinct`` — Spark plans multiple distinct aggregates via
-    an EXPAND that replicates every input row per profiled column, so
-    the scan effectively costs (n_cols + 1)×. That is fine for audits
-    and small dims; at 100 TB pass ``exact_distinct=False`` for HLL
-    sketches (``approx_count_distinct``, ~2% error): constant-size
-    state, NO expand, a true single pass. The literal-size unpivot at
-    the end shuffles one constant-size row either way.
+    Plan shape (worth knowing at 100 TB): the closing unpivot-union
+    makes Catalyst split the profile into one aggregate branch per
+    column, each with its scan PRUNED to that column — total IO ≈ one
+    full-table read spread across branches, and no multi-distinct
+    EXPAND ever appears. ``exact_distinct=True`` (the oracle-checkable
+    default) shuffles each column's distinct values; at 100 TB pass
+    ``exact_distinct=False`` for HLL sketches
+    (``approx_count_distinct``, ~2% error) — constant-size partials
+    regardless of cardinality.
     """
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []

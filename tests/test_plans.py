@@ -222,17 +222,21 @@ def test_run_batch_pipeline_end_to_end(spark, tmp_path):
     assert (out_dir / "route=rating").exists()
 
 
-def test_profile_columns_approx_path_no_expand(spark):
-    """The scale path (exact_distinct=False) must not plan an EXPAND —
-    HLL sketches keep the profile a true single pass."""
+def test_profile_columns_plan_shape_and_approx(spark):
+    """Per-column branches stay free of the multi-distinct EXPAND in
+    BOTH modes (the unpivot-union splits the aggregate per column,
+    each scan pruned to its column); the approx path returns HLL
+    estimates within tolerance."""
     from etl_work_flow_for_big_data_spark.operators.transforms import (
         profile_columns,
     )
 
     df = spark.range(1000).selectExpr("id", "id % 7 AS a", "id % 13 AS b")
-    exact = profile_columns(df, ["a", "b"], exact_distinct=True)
-    approx = profile_columns(df, ["a", "b"], exact_distinct=False)
-    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
-    got = {r["column"]: r["n_distinct"] for r in approx.collect()}
+    for exact in (True, False):
+        prof = profile_columns(df, ["a", "b"], exact_distinct=exact)
+        assert "Expand" not in prof._jdf.queryExecution().executedPlan().toString()
+    got = {
+        r["column"]: r["n_distinct"]
+        for r in profile_columns(df, ["a", "b"], exact_distinct=False).collect()
+    }
     assert abs(got["a"] - 7) <= 1 and abs(got["b"] - 13) <= 1
