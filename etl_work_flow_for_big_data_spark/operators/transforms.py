@@ -232,11 +232,12 @@ def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
         .alias(name)
         for name, pred in rules
     ]
-    one = df.agg(*aggs)
-    out = None
-    for name, _ in rules:
-        row = one.select(
-            F.lit(name).alias("rule"), F.col(name).alias("n_violations")
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    # aggregate ONCE and collect the single constant-size row — a lazy
+    # unpivot-union would make Catalyst split one aggregate branch per
+    # rule, re-scanning the rule's columns n_rules times
+    one = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(name, int(one[name])) for name, _ in rules],
+        "rule string, n_violations bigint",
+    )
