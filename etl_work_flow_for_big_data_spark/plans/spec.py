@@ -134,3 +134,44 @@ class PipelineSpec:
         """The terminal stage's next_component_type = output route tag
         (the 't' key the reference stamps for the writer demux)."""
         return self.ordered()[-1].next_component_type
+
+
+def load_settings(
+    df: DataFrame, key_col: str = "name", value_col: str = "value"
+) -> dict[str, str]:
+    """Load a key→value settings table into a dict — the
+    M_SYSTEM_SETTINGS pattern (the reference fetches global settings
+    relationally at boot, MFramework.cpp:393-426; an empty table is
+    fine and the component continues, :426-431). Settings tables are
+    tiny by definition; any registry source works (jdbc, parquet,
+    csv)."""
+    return {
+        r[key_col]: r[value_col]
+        for r in df.select(key_col, value_col).collect()
+        if r[key_col] is not None
+    }
+
+
+def setting_as(
+    settings: dict[str, str], key: str, type_=str, default=None
+):
+    """Typed settings access — the ``GetScalarMatch<T>`` /
+    ``m_FromString<T>`` analog (MFramework.cpp:512-544): absent keys
+    return ``default``; present keys must parse as ``type_`` (bool
+    accepts true/false/1/0/yes/no case-insensitively)."""
+    raw = settings.get(key)
+    if raw is None:
+        return default
+    if type_ is bool:
+        low = str(raw).strip().lower()
+        if low in ("true", "1", "yes"):
+            return True
+        if low in ("false", "0", "no"):
+            return False
+        raise ValueError(f"setting {key}={raw!r} is not a boolean")
+    try:
+        return type_(raw)
+    except (TypeError, ValueError) as exc:
+        raise ValueError(
+            f"setting {key}={raw!r} does not parse as {type_.__name__}"
+        ) from exc

@@ -240,3 +240,27 @@ def test_profile_columns_plan_shape_and_approx(spark):
         for r in profile_columns(df, ["a", "b"], exact_distinct=False).collect()
     }
     assert abs(got["a"] - 7) <= 1 and abs(got["b"] - 13) <= 1
+
+
+def test_system_settings_loader(spark):
+    """A6 relational settings plane: M_SYSTEM_SETTINGS-style table →
+    dict with typed access (GetScalarMatch analog); absent keys
+    default, junk values raise."""
+    from etl_work_flow_for_big_data_spark.plans.spec import (
+        load_settings,
+        setting_as,
+    )
+
+    df = spark.createDataFrame(
+        [("batch_size", "500"), ("dry_run", "true"), ("rate", "0.25")],
+        "name string, value string",
+    )
+    s = load_settings(df)
+    assert setting_as(s, "batch_size", int) == 500
+    assert setting_as(s, "dry_run", bool) is True
+    assert setting_as(s, "rate", float) == 0.25
+    assert setting_as(s, "absent", int, default=7) == 7
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not parse"):
+        setting_as(s, "dry_run", int)
