@@ -174,3 +174,35 @@ class TestShingleEdges:
         assert got["   "] == []
         assert got["a b c d e"] == ["a b c d e"]
         assert got["a b c d e f"] == ["a b c d e", "b c d e f"]
+
+
+def _reference_find_loop(payload: str) -> list[tuple[str, str]]:
+    """Pure-Python simulation of the reference parser
+    (MFramework.cpp:1234-1243): consume separator-TERMINATED segments
+    with a find-loop; an entry is any segment with '=' at offset 1;
+    the value is substr(2) (embedded '=' kept); everything else —
+    including a trailing non-terminated segment — is skipped."""
+    out = []
+    start = 0
+    while (end := payload.find("\n", start)) != -1:
+        seg = payload[start:end]
+        if len(seg) >= 2 and seg[1] == "=":
+            out.append((seg[0], seg[2:]))
+        start = end + 1
+    return out
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(
+        alphabet=string.ascii_lowercase + string.digits + "=|.\n ",
+        max_size=60,
+    )
+)
+def test_parser_matches_reference_find_loop(payload):
+    """For ARBITRARY payloads (valid entries, junk, embedded '=',
+    empty segments, missing terminators), the Catalyst parser produces
+    exactly what the reference's find-loop would — byte-for-byte wire
+    fidelity as a property, not just on curated cases."""
+    spark = _SPARK[0]
+    assert _parse_one(spark, payload) == _reference_find_loop(payload)
