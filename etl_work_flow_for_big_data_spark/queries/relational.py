@@ -1303,3 +1303,64 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
     )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(user_id % 3 AS BIGINT)  AS cohort,
+           CAST(COUNT(*) AS BIGINT)     AS n,
+           ROUND(SUM(value), 2)         AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+    """,
+    doc="D4 explicit GROUPING SETS (the third form next to rollup and "
+    "cube): detail, per-type subtotal, and grand total in ONE pass — "
+    "Spark plans the same Expand that rollup/cube use, one replica "
+    "per grouping set.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(user_id % 3 AS BIGINT)  AS cohort,
+               CAST(COUNT(*) AS BIGINT)     AS n,
+               ROUND(SUM(value), 2)         AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+        """
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT event_id,
+           user_id,
+           CAST(COUNT(*) OVER w AS BIGINT)      AS n_trailing_1h,
+           ROUND(SUM(value) OVER w, 2)          AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="E2 time-RANGE window frame: per-user trailing-1-hour count and "
+    "sum — the range frame (value-based bounds over event-time seconds) "
+    "next to the row-based running frames in window_analytic. One "
+    "shuffle on the partition key; frames are time-bounded so state "
+    "per row is the trailing hour, not the whole history.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("value_trailing_1h"),
+    )
