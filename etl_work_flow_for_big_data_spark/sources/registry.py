@@ -180,18 +180,25 @@ def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str =
     from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
 
     wire = serialize_map(F.col(attrs_col))
-    # the separator must not occur inside any value — after translate()
-    # it would be indistinguishable from an entry boundary and the
-    # round-trip would silently split the value. Fail loudly, IN-ROW,
-    # inside the same write pass (a filter+count pre-scan would double
-    # the full scan at 100 TB just for a sanity check).
+    # neither the separator NOR a raw newline may occur inside any
+    # value — after translate() both are indistinguishable from entry
+    # boundaries and the round-trip would silently split the value
+    # into bogus entries. Fail loudly, IN-ROW, inside the same write
+    # pass (a filter+count pre-scan would double the full scan at
+    # 100 TB just for a sanity check). The newline check runs on the
+    # raw map values (the serialized wire legitimately uses '\n' as
+    # its entry terminator).
+    value_has_newline = F.exists(
+        F.map_values(F.col(attrs_col)), lambda v: F.instr(v, "\n") > 0
+    )
     guarded = F.when(
-        F.instr(wire, sep) > 0,
+        (F.instr(wire, sep) > 0) | value_has_newline,
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"separator {sep!r} occurs inside a packet value; "
-                    "pick a sep absent from the data "
+                    f"separator {sep!r} or a raw newline occurs inside "
+                    "a packet value; newlines cannot ride the wire, and "
+                    "the sep must be absent from the data "
                     "(write_kv_text(..., sep=...)); offending packet: "
                 ),
                 wire,

@@ -175,3 +175,16 @@ def test_progress_logger_emits_log_packets(spark, tmp_path):
             assert p["m"].count("|") >= 2  # ts|session|message
     finally:
         spark.streams.removeListener(logger)
+
+
+def test_kv_text_write_newline_in_value_fails(spark, tmp_path):
+    """A raw newline inside a value would silently split into bogus
+    entries after the separator translate — caught in-row like the
+    separator clash."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [({"s": "has\nnewline"},)], "attrs map<string,string>"
+    )
+    with _pytest.raises(Exception, match="newline"):
+        write_kv_text(bad, str(tmp_path / "bad"))
