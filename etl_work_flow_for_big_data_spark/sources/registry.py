@@ -277,7 +277,28 @@ def kafka_wire_frame(
     is the broker-independent (and unit-tested) half of A2."""
     from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
 
-    value = F.encode(serialize_map(F.col(attrs_col)), "UTF-8").alias("value")
+    # same wire integrity rule as write_kv_text: a raw newline inside a
+    # value is indistinguishable from the entry terminator on the
+    # consumer side — fail in-row rather than corrupt silently
+    value_has_newline = F.exists(
+        F.map_values(F.col(attrs_col)), lambda v: F.instr(v, "\n") > 0
+    )
+    value = (
+        F.when(
+            value_has_newline,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "a raw newline occurs inside a packet value; "
+                        "newlines cannot ride the k=v wire; offending keys: "
+                    ),
+                    F.concat_ws(",", F.map_keys(F.col(attrs_col))),
+                )
+            ).cast("binary"),
+        )
+        .otherwise(F.encode(serialize_map(F.col(attrs_col)), "UTF-8"))
+        .alias("value")
+    )
     if key_col is None:
         return df.select(value)
     # key from a top-level column if present, else from the attrs map

@@ -290,3 +290,13 @@ def test_sink_registry_roundtrips(spark, tmp_path):
 
     with pytest.raises(KeyError, match="iceberg"):
         SINKS.write("iceberg", df, "/nowhere")
+
+
+def test_kafka_wire_frame_rejects_newline_values(spark):
+    from etl_work_flow_for_big_data_spark.sources.registry import kafka_wire_frame
+
+    bad = spark.createDataFrame(
+        [({"s": "x\ny"},)], "attrs map<string,string>"
+    )
+    with pytest.raises(Exception, match="newline"):
+        kafka_wire_frame(bad).collect()
