@@ -645,3 +645,32 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < 5)
     return contamination_flags(d, bench, "text", "doc_id", k=5, min_shared=1)
+
+
+@query(
+    "mix_weighted",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+                % 100 AS INT) AS bucket
+    FROM documents
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100
+          < CASE WHEN lang = 'en' THEN 80 ELSE 50 END
+    """,
+    doc="Corpus mixing: per-source weighted sampling by deterministic "
+    "hash bucket (en at 80%, everything else at 50%) — the "
+    "dataset-mixing step of a training pipeline, reproducible across "
+    "engines/runs/cluster sizes, zero shuffle, composes with "
+    "split_assign (same bucket family).",
+)
+def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 80).otherwise(50)
+    return d.filter(bucket < rate).select(
+        "doc_id", "lang", bucket.cast("int").alias("bucket")
+    )
