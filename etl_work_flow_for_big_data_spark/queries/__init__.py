@@ -64,8 +64,56 @@ def _tuned(fn):
     return wrapped
 
 
+# Driver-check priority. The driver's per-round CORRECTNESS run caps at
+# 50 queries in registry-iteration order, so iteration order decides
+# which queries receive a hard oracle check. Queries that have never
+# appeared in a CORRECTNESS file come first, then queries whose only
+# record is round 1, then the round-2-green set. Names absent from this
+# list (the round-2-green set) keep registration order at the back;
+# NEW queries must be added to this list to receive a check slot.
+_CHECK_PRIORITY = [
+    # -- never driver-checked through round 2 (VERDICT r2 "What's missing" #1)
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_apply",
+    "dedup_components",
+    "decontaminate",
+    "llm_clean_corpus",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "ts_gapfill",
+    "route_assign",
+    "text_fingerprint",
+    "text_token_regex",
+    "text_chunk",
+    "text_scrub",
+    "text_editdist",
+    "split_assign",
+    "pack_sequences",
+    "mix_weighted",
+    "sim_ann_multiprobe",
+    "join_salted",
+    "window_ntile",
+    "agg_grouping_sets",
+    "window_range_frame",
+    # -- checked in round 1 only (the r2 run never reached them)
+    "sim_topk",
+    "sim_pairs",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side effect: registry population)."""
+    """Import every query module (side effect: registry population),
+    then order the registry by driver-check priority (see
+    ``_CHECK_PRIORITY``)."""
     from etl_work_flow_for_big_data_spark.queries import (  # noqa: F401
         multimodal,
         packets,
@@ -75,4 +123,8 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
     )
 
-    return REGISTRY
+    rank = {name: i for i, name in enumerate(_CHECK_PRIORITY)}
+    insertion = {name: i for i, name in enumerate(REGISTRY)}
+    back = len(_CHECK_PRIORITY)  # unlisted (r2-green) queries keep order, at the back
+    ordered = sorted(REGISTRY, key=lambda n: (rank.get(n, back), insertion[n]))
+    return {name: REGISTRY[name] for name in ordered}

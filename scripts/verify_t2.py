@@ -1,0 +1,42 @@
+"""Driver-style t2 sweep at sf0.01 over the first N registry slots."""
+import sys, time, traceback
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+SF = "/root/testdata/sf0.01"
+spark = SparkSession.builder.master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
+import __spark_entry__ as e
+qs, osql = e.queries(), e.oracle_sql()
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+sys.path.insert(0, "/root/repo/tests")
+from parity import compare
+
+fails = []
+names = list(qs)[:N]
+for name in names:
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF)
+        if name in osql:
+            compare(sdf, con.sql(osql[name]))
+            status = "ok"
+        else:
+            n = sdf.count()
+            status = f"rows-only ({n})"
+    except Exception as ex:
+        status = "FAIL"
+        fails.append((name, ex))
+        traceback.print_exc()
+    print(f"{name:28s} {status:14s} {time.time()-t0:5.1f}s", flush=True)
+
+print(f"\n{len(names)-len(fails)}/{len(names)} pass")
+if fails:
+    for n, ex in fails:
+        print("FAIL:", n, type(ex).__name__, str(ex)[:200])
+    sys.exit(1)
