@@ -42,6 +42,27 @@ list_distinct(list_transform(
   __i -> array_to_string(({_DUCK_TOKS})[__i:__i+4], ' ')))
 """
 
+#: Stop-shingle document-frequency bound for exact-Jaccard candidate
+#: generation. Candidate cost is Σ df(shingle)²; with df capped at
+#: MAX_DF it collapses to ≤ MAX_DF · Σ df = MAX_DF · |index| — linear
+#: in corpus size instead of quadratic in the hottest shingle. A
+#: shingle shared by >100 documents is boilerplate, not evidence of
+#: near-duplication, so recall loss is negligible (standard
+#: stop-shingle trade).
+MAX_DF = 100
+
+
+def _duck_rare_shingle_index(src: str) -> str:
+    """DuckDB CTE fragment mirroring shingle_index + the ``max_df``
+    stop-shingle filter of ``ngram_jaccard_pairs`` — defines ``s``
+    (doc_id, sh) with shingles of document frequency > MAX_DF removed,
+    exactly as the Spark side drops them before pairing."""
+    return f"""
+      s0 AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM {src}),
+      keep AS (SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= {MAX_DF}),
+      s AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN keep USING (sh))
+    """
+
 
 @query(
     "text_tokens",
@@ -200,7 +221,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram",
     f"""
-    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+    WITH {_duck_rare_shingle_index("documents")},
          n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -213,11 +234,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="I2 exact n-gram Jaccard near-dup pairs via inverted shingle "
     "index (explode + equi-join; the exact baseline the LSH variant "
-    "approximates)",
+    "approximates). Stop-shingles with df > MAX_DF are dropped before "
+    "pairing, bounding candidate cost at MAX_DF x index size.",
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", k=5, threshold=0.5, max_df=MAX_DF
+    )
 
 
 @query(
@@ -337,7 +361,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_apply",
     f"""
-    WITH s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+    WITH {_duck_rare_shingle_index("documents")},
          n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
          p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -351,13 +375,16 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="I2 dedup application: greedy keep-lowest-id over near-dup "
     "pairs (one anti-join; the transitive-closure variant needs "
-    "iterative joins and is deliberately not the default at scale)",
+    "iterative joins and is deliberately not the default at scale). "
+    "Candidate generation is MAX_DF-bounded.",
 )
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=5, threshold=0.5, max_df=MAX_DF
+    )
     return apply_near_dedup(d, pairs, "doc_id").select(
         "doc_id", "lang", "source"
     )
@@ -367,7 +394,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     f"""
     WITH RECURSIVE
-      s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM documents),
+      {_duck_rare_shingle_index("documents")},
       n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
       p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
             FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -397,7 +424,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", k=5, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=5, threshold=0.5, max_df=MAX_DF
+    )
     return connected_components(pairs)
 
 
@@ -415,7 +444,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     ),
     u AS (SELECT q.* FROM q JOIN k USING (doc_id)),
-    s AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS sh FROM u),
+    {_duck_rare_shingle_index("u")},
     n AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
     p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
           FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -431,9 +460,10 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(normalized-md5 digest groupBy, min-id keeper) -> near-dup "
     "removal (5-gram Jaccard >= 0.5, greedy keep-lowest-id) -> clean "
     "corpus projection. At 100 TB every stage shuffles digests/ids, "
-    "never document text; the near-dup stage swaps to "
-    "minhash_lsh_pairs for sub-quadratic candidates (exact Jaccard "
-    "kept here so the whole pipeline is hash-oracle-checkable).",
+    "never document text; candidate generation is MAX_DF-bounded "
+    "(stop-shingles dropped), keeping the near-dup stage linear in "
+    "index size while staying hash-oracle-checkable; swap the pair "
+    "stage to minhash_lsh_pairs for the sub-quadratic variant.",
 )
 def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
@@ -446,7 +476,9 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_id").alias("doc_id")
     )
     uniq = qual.join(keepers, "doc_id", "left_semi")
-    pairs = ngram_jaccard_pairs(uniq, "text", "doc_id", k=5, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        uniq, "text", "doc_id", k=5, threshold=0.5, max_df=MAX_DF
+    )
     clean = apply_near_dedup(uniq, pairs, "doc_id")
     return clean.select("doc_id", "lang", "source", "n_tokens")
 

@@ -133,7 +133,13 @@ def test_pipeline_utility_plans(spark, sf_dir):
     """New training-pipeline utilities keep their promised shapes:
     scrub and split are map-only (zero Exchange), packing pays exactly
     its one window shuffle."""
-    for name, max_ex in (("text_scrub", 0), ("split_assign", 0), ("pack_sequences", 1)):
+    for name, max_ex in (
+        ("text_scrub", 0),
+        ("split_assign", 0),
+        ("mix_weighted", 0),
+        ("pack_sequences", 1),
+        ("route_assign", 1),
+    ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange") <= max_ex, f"{name}:\n{plan}"
 
@@ -149,6 +155,49 @@ def test_llm_clean_corpus_join_discipline(spark, sf_dir):
     # exprIds render as text#NNN; text_hash digests may shuffle, raw
     # text must not
     assert not re.search(r"hashpartitioning\(text#", plan)
+
+
+def test_exact_jaccard_queries_are_max_df_bounded(spark, sf_dir):
+    """Every registered query that runs exact n-gram Jaccard must carry
+    the MAX_DF stop-shingle bound: without it, one boilerplate shingle
+    shared by d documents contributes d²/2 candidate pairs and the
+    candidate stage is quadratic at 100 TB. The bound shows up in the
+    optimized plan as a document-frequency filter (count(...) <= MAX_DF
+    post-aggregation) feeding the index join. (dedup_components uses
+    the same bounded pair stage but localCheckpoints each round, so its
+    final plan is a LogicalRDD — the bound is pinned here via the other
+    three call sites and the behavioral test below.)"""
+    from etl_work_flow_for_big_data_spark.queries.text import MAX_DF
+
+    for name in ("dedup_ngram", "dedup_apply", "llm_clean_corpus"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert f"<= {MAX_DF}" in optimized, f"{name} lost its max_df bound"
+
+
+def test_max_df_drops_stop_shingles(spark):
+    """Behavioral pin for the bound: a shingle present in every doc is
+    excluded from pairing once df exceeds max_df, while rare-shingle
+    overlap still pairs."""
+    from etl_work_flow_for_big_data_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "a b c d e"  # one 5-gram shared by ALL docs
+    rows = [
+        (1, common + " x1 x2 x3 x4"),
+        (2, common + " x1 x2 x3 x4"),  # true near-dup of 1
+        (3, common + " y1 y2 y3 y4"),
+        (4, common + " z1 z2 z3 z4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cross-doc pairs share only the universal shingle: jaccard = 1/9
+    unbounded = ngram_jaccard_pairs(df, "text", "doc_id", k=5, threshold=0.1)
+    bounded = ngram_jaccard_pairs(
+        df, "text", "doc_id", k=5, threshold=0.1, max_df=3
+    )
+    # unbounded: the universal shingle pairs everything (6 pairs)
+    assert unbounded.count() == 6
+    # bounded: only the genuinely duplicated docs pair
+    assert [(r.d1, r.d2) for r in bounded.collect()] == [(1, 2)]
 
 
 def test_join_salted_spreads_hot_key(spark, sf_dir):
