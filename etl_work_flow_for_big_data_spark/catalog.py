@@ -54,6 +54,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer — a metadata read, no
+    scan job. Used to size driver-bounded operators (e.g.
+    ``cosine_pairs`` block count) without paying a count() pass."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table; keys match the DuckDB oracle views."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -72,12 +72,15 @@ def cosine_pairs(
     vec_col: str,
     threshold: float,
     block_size: int = 65536,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact O(n²) baseline).
 
     Driver memory is bounded at ``block_size`` vectors REGARDLESS of
     corpus size: the corpus is split into hash blocks
-    (``pmod(id, n_blocks)``); each block in turn is collected as the
+    (``pmod(xxhash64(id), n_blocks)`` — hash-based so ids of ANY type
+    partition correctly; a numeric pmod on a string id would silently
+    collect empty blocks); each block in turn is collected as the
     kernel's broadcast matrix (~block_size × dim × 8 B, ≈32 MiB at the
     default for 64-dim), the full table streams through the Arrow
     kernel against it, and the block's scored rows are eagerly
@@ -91,17 +94,36 @@ def cosine_pairs(
     the scale path when n² itself is the problem. A conservative
     raw-cosine prefilter inside the kernel keeps the Arrow transfer at
     result size instead of n² size; the exact rounded filter is
-    applied Spark-side."""
+    applied Spark-side.
+
+    ``n_hint``: caller-supplied (approximate) corpus size used only to
+    pick the block count — passing it skips the sizing ``count()``
+    scan. An underestimate still bounds driver memory per collect at
+    roughly the true n / n_blocks; correctness never depends on it.
+
+    Ids must be integral: the Arrow kernel compares int64 ids for the
+    pair-once property. Validated up front — a non-integral id column
+    raises here instead of failing inside a task (or, worse, a numeric
+    pmod silently collecting empty blocks, ADVICE r2)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
 
-    n = df.count()
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"cosine_pairs needs an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()} — add a surrogate key (e.g. "
+            "xxhash64 of the natural id) before pairing"
+        )
+    n = n_hint if n_hint is not None else df.count()
     n_blocks = max(1, -(-n // block_size))
     parts = []
     for b in range(n_blocks):
         blk = (
             df
             if n_blocks == 1
-            else df.filter(F.pmod(F.col(id_col), F.lit(n_blocks)) == b)
+            else df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == b)
         )
         corpus = [(r[0], list(r[1])) for r in blk.select(id_col, vec_col).collect()]
         scored = pairwise_cosine(

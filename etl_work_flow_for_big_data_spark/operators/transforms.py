@@ -166,6 +166,78 @@ def merge_upsert(
 
 
 
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "ntile",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without a
+    single-partition sort — the scale-safe global quantile binning.
+
+    A plain global-order window funnels every row through ONE task's
+    sort. This instead uses the classic distributed-ranking shape:
+
+    1. range-repartition on the order key (each partition owns a
+       contiguous key range, ranges ordered by partition id) and
+       **materialize once** (eager localCheckpoint) so partition
+       membership is frozen — range boundaries come from sampling, and
+       the offsets computed in step 2 must describe the exact same
+       partitioning the window in step 3 runs over;
+    2. per-partition row counts → prefix-sum offsets (one driver
+       collect of n_parts rows — constant-size, not data-size);
+    3. partition-local row_number + the partition's offset = exact
+       global rank; NTILE's closed form (first N%n buckets get one
+       extra row) maps rank → bucket.
+
+    Every partition sorts only its own range; the data-size costs are
+    the one checkpoint materialization plus the window's single hash
+    shuffle on partition id (which cannot skew beyond a range's size).
+    ``order_cols`` must be a total order (add a unique tie-break
+    column) or ranks — and thus buckets — are nondeterministic at
+    range boundaries.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # NTILE closed form over 0-based global rank r of N rows, k buckets:
+    # the first m = N % k buckets hold big = ceil(N/k) rows, the rest
+    # hold small = floor(N/k); 1-based bucket follows from r directly.
+    m = total % n_buckets
+    small = total // n_buckets
+    big = small + 1
+    rank0 = (F.row_number().over(w) - 1 + F.col("__offset")).alias("__rank0")
+    bucket = F.when(
+        F.col("__rank0") < m * big, F.floor(F.col("__rank0") / big)
+    ).otherwise(m + F.floor((F.col("__rank0") - m * big) / F.lit(max(small, 1))))
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn("__rank0", rank0)
+        .withColumn(out_col, (bucket + 1).cast("bigint"))
+        .drop("__pid", "__offset", "__rank0")
+    )
+
+
 def profile_columns(
     df: DataFrame, cols: list[str], exact_distinct: bool = True
 ) -> DataFrame:
@@ -183,6 +255,8 @@ def profile_columns(
     (``approx_count_distinct``, ~2% error) — constant-size partials
     regardless of cardinality.
     """
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
     nd = F.countDistinct if exact_distinct else F.approx_count_distinct
     aggs = []
     for c in cols:
@@ -224,9 +298,12 @@ def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     names = [n for n, _ in rules]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {sorted(names)}")
+    # coalesce: F.sum over an EMPTY frame is NULL, and empty batches
+    # are a normal pipeline condition — report 0 violations, not crash
     aggs = [
-        F.sum(
-            F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)),
+            F.lit(0),
         )
         .cast("bigint")
         .alias(name)

@@ -1289,20 +1289,29 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS price_quartile
     FROM orders
     """,
-    doc="E1 quantile binning: NTILE(4) over a deterministic total order "
-    "(rounded price + key tie-break) — the feature-bucketing window "
-    "next to rank/dense_rank. A global-order window has ONE ordering "
-    "partition; at 100 TB bucket within a partition key instead (the "
-    "rank query shows that shape) or use approx quantile cutoffs.",
+    doc="E1 quantile binning: exact NTILE(4) over a deterministic total "
+    "order (rounded price + key tie-break) WITHOUT a global-order "
+    "window — distributed_ntile range-repartitions on the sort key, "
+    "freezes the partitioning, derives each partition's global-rank "
+    "offset from a constant-size count collect, and applies NTILE's "
+    "closed form to partition-local row_number + offset. Bit-identical "
+    "to NTILE(4) OVER (ORDER BY ...) with no single-partition sort.",
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.round("o_totalprice", 2), "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
     )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("__price2")
+    )
+    binned = distributed_ntile(
+        o,
+        [F.col("__price2"), F.col("o_orderkey")],
+        n_buckets=4,
+        out_col="price_quartile",
+    )
+    return binned.select("o_custkey", "o_orderkey", "price_quartile")
 
 
 @query(

@@ -73,8 +73,12 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant below is the scale path)",
 )
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.catalog import table_row_count
+
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4)
+    # parquet-footer count: sizes the hash blocks without a scan job
+    n = table_row_count(sf_dir, "embeddings")
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4, n_hint=n)
 
 
 _DUCK_SIG = """

@@ -186,11 +186,13 @@ def write_kv_text(df: DataFrame, path: str, attrs_col: str = "attrs", sep: str =
     # into bogus entries. Fail loudly, IN-ROW, inside the same write
     # pass (a filter+count pre-scan would double the full scan at
     # 100 TB just for a sanity check). The newline check runs on the
-    # raw map values (the serialized wire legitimately uses '\n' as
-    # its entry terminator).
+    # raw map KEYS AND VALUES (the serialized wire legitimately uses
+    # '\n' as its entry terminator, so checking the wire itself would
+    # always fire; a newline inside a key corrupts framing exactly
+    # like one inside a value).
     value_has_newline = F.exists(
         F.map_values(F.col(attrs_col)), lambda v: F.instr(v, "\n") > 0
-    )
+    ) | F.exists(F.map_keys(F.col(attrs_col)), lambda k: F.instr(k, "\n") > 0)
     guarded = F.when(
         (F.instr(wire, sep) > 0) | value_has_newline,
         F.raise_error(
@@ -278,11 +280,11 @@ def kafka_wire_frame(
     from etl_work_flow_for_big_data_spark.functions.packets import serialize_map
 
     # same wire integrity rule as write_kv_text: a raw newline inside a
-    # value is indistinguishable from the entry terminator on the
-    # consumer side — fail in-row rather than corrupt silently
+    # key or value is indistinguishable from the entry terminator on
+    # the consumer side — fail in-row rather than corrupt silently
     value_has_newline = F.exists(
         F.map_values(F.col(attrs_col)), lambda v: F.instr(v, "\n") > 0
-    )
+    ) | F.exists(F.map_keys(F.col(attrs_col)), lambda k: F.instr(k, "\n") > 0)
     value = (
         F.when(
             value_has_newline,
@@ -407,16 +409,20 @@ def _fetch_local(src: str, dst: str, **_: Any) -> str:
     return dst
 
 
-def _parse_ftp_url(src: str, opts: dict[str, Any]):
-    """Resolve host/port/credentials/path from an ftp:// URL, with
-    explicit options overriding URL parts."""
+def _parse_ftp_url(src: str, opts: dict[str, Any], default_port: int):
+    """Resolve host/port/credentials/path from an ftp://-family URL,
+    with explicit options overriding URL parts. ``default_port`` is the
+    protocol's own default (21 ftp/ftps, 22 sftp) and applies ONLY when
+    neither opts nor the URL carry a port — an explicit port is always
+    honored verbatim (no magic sentinel values)."""
     from urllib.parse import unquote, urlparse
 
     u = urlparse(src if "://" in src else f"ftp://{src}")
     host = opts.get("host") or u.hostname
     if not host:
         raise ValueError(f"ftp fetch needs a host: {src!r}")
-    port = int(opts.get("port") or u.port or 21)
+    port_raw = opts.get("port") if opts.get("port") is not None else u.port
+    port = int(port_raw) if port_raw is not None else default_port
     user = opts.get("user") or (unquote(u.username) if u.username else "anonymous")
     password = opts.get("password") or (unquote(u.password) if u.password else "")
     path = opts.get("path") or unquote(u.path)
@@ -431,7 +437,7 @@ def _fetch_ftp_factory(secure: bool):
     def fn(src: str, dst: str, **opts: Any) -> str:
         import ftplib
 
-        host, port, user, password, path = _parse_ftp_url(src, opts)
+        host, port, user, password, path = _parse_ftp_url(src, opts, default_port=21)
         timeout = float(opts.get("timeout", 30.0))
         ftp = ftplib.FTP_TLS(timeout=timeout) if secure else ftplib.FTP(timeout=timeout)
         try:
@@ -465,8 +471,7 @@ def _fetch_sftp(src: str, dst: str, **opts: Any) -> str:
             "prefer mounting the remote store instead."
         ) from exc
 
-    host, port, user, password, path = _parse_ftp_url(src, opts)
-    port = port if port != 21 else int(opts.get("port", 22))
+    host, port, user, password, path = _parse_ftp_url(src, opts, default_port=22)
     with paramiko.Transport((host, port)) as transport:
         transport.connect(username=user, password=password)
         sftp = paramiko.SFTPClient.from_transport(transport)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.queries import load_all
 
@@ -198,6 +199,43 @@ def test_max_df_drops_stop_shingles(spark):
     assert unbounded.count() == 6
     # bounded: only the genuinely duplicated docs pair
     assert [(r.d1, r.d2) for r in bounded.collect()] == [(1, 2)]
+
+
+def test_window_ntile_no_single_partition_sort(spark, sf_dir):
+    """Global quantile binning must NOT plan a single-partition
+    window: distributed_ntile's window partitions by the frozen range
+    partition id, so no 'Exchange SinglePartition' may appear anywhere
+    in the executed plan."""
+    plan = _plan(spark, sf_dir, "window_ntile")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_distributed_ntile_matches_global_ntile(spark):
+    """Bit-equality pin: distributed_ntile reproduces NTILE(k) OVER
+    (ORDER BY ...) exactly, including the uneven-bucket closed form
+    (N % k leading buckets one row larger)."""
+    from pyspark.sql import Window as W
+
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    # N=10, k=4 → bucket sizes 3,3,2,2; scrambled insert order
+    rows = [(i * 37 % 10, float((i * 37 % 10) * 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    want = {
+        (r.id, r.q)
+        for r in df.select(
+            "id", F.ntile(4).over(W.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    got = {
+        (r.id, r.q)
+        for r in distributed_ntile(
+            df, [F.col("v"), F.col("id")], 4, out_col="q", n_parts=3
+        ).collect()
+    }
+    assert got == want
 
 
 def test_join_salted_spreads_hot_key(spark, sf_dir):

@@ -179,6 +179,16 @@ def test_dq_validate_and_profile_edges(spark):
     assert prof["id"]["n_nulls"] == 1 and prof["id"]["n_distinct"] == 2
     assert prof["v"]["min_s"] == "a" and prof["v"]["max_s"] == "c"
 
+    # empty batches are a normal pipeline condition: 0 violations, no crash
+    empty = df.filter("id = -999")
+    got0 = {
+        r["rule"]: r["n_violations"]
+        for r in dq_validate(empty, [("id_present", "id IS NOT NULL")]).collect()
+    }
+    assert got0 == {"id_present": 0}
+    with pytest.raises(ValueError, match="at least one column"):
+        profile_columns(df, [])
+
 
 def test_run_batch_pipeline_end_to_end(spark, tmp_path):
     """One-call component run: kv_text landing files -> compiled

@@ -42,6 +42,41 @@ def test_blocked_equals_single_pass(vecs):
     assert all(d1 < d2 for d1, d2, _ in full)
 
 
+def test_non_integral_id_rejected_up_front(spark):
+    """ADVICE r2: with string ids a numeric pmod blocking silently
+    collected empty blocks and emitted zero pairs. The kernel's
+    pair-once contract is int64-id-based, so non-integral ids now fail
+    loudly at the operator boundary instead."""
+    rows = [(f"doc-{i}", [1.0, float(i % 3)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    with pytest.raises(ValueError, match="integral id column"):
+        cosine_pairs(df, "vec_id", "embedding", 0.8, block_size=3)
+
+
+def test_blocked_with_n_hint_and_negative_ids(spark):
+    """xxhash64 blocking partitions ANY integral id (negatives
+    included — plain pmod on a negative id is fine, but hash blocking
+    must stay pair-complete), and n_hint replaces the sizing count()
+    without changing results."""
+    rows = [
+        (i - 10, [float((i % 5) + 1), float((i % 3) + 1), 1.0, float(i % 2)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = sorted(
+        (r["d1"], r["d2"], r["cos_sim"])
+        for r in cosine_pairs(df, "vec_id", "embedding", 0.8).collect()
+    )
+    blocked = sorted(
+        (r["d1"], r["d2"], r["cos_sim"])
+        for r in cosine_pairs(
+            df, "vec_id", "embedding", 0.8, block_size=3, n_hint=20
+        ).collect()
+    )
+    assert full == blocked
+    assert len(full) > 0
+
+
 def test_zero_norm_vector_excluded_by_contract(spark):
     """A zero vector yields NaN cosine (0/0). Arrow coerces NaN→NULL on
     transfer (pandas NaN == missing), so 'keep NaN like the engines'

@@ -300,3 +300,32 @@ def test_kafka_wire_frame_rejects_newline_values(spark):
     )
     with pytest.raises(Exception, match="newline"):
         kafka_wire_frame(bad).collect()
+
+
+def test_wire_guards_reject_newline_in_keys(spark, tmp_path):
+    """ADVICE r2: a raw newline inside a map KEY corrupts entry framing
+    exactly like one inside a value — both sink guards must fire."""
+    from etl_work_flow_for_big_data_spark.sources.registry import (
+        kafka_wire_frame,
+        write_kv_text,
+    )
+
+    bad = spark.createDataFrame([({"a\nb": "v"},)], "attrs map<string,string>")
+    with pytest.raises(Exception, match="newline"):
+        kafka_wire_frame(bad).collect()
+    with pytest.raises(Exception, match="newline"):
+        write_kv_text(bad, str(tmp_path / "out"))
+
+
+def test_ftp_url_port_defaults_per_protocol():
+    """An explicit port is honored verbatim for every protocol; the
+    per-protocol default applies only when no port is given (the old
+    code treated 21 as 'unspecified' and rewrote sftp://host:21 to
+    port 22)."""
+    from etl_work_flow_for_big_data_spark.sources.registry import _parse_ftp_url
+
+    assert _parse_ftp_url("ftp://h/x", {}, default_port=21)[1] == 21
+    assert _parse_ftp_url("sftp://h/x", {}, default_port=22)[1] == 22
+    assert _parse_ftp_url("sftp://h:21/x", {}, default_port=22)[1] == 21
+    assert _parse_ftp_url("ftp://h:2121/x", {}, default_port=21)[1] == 2121
+    assert _parse_ftp_url("ftp://h/x", {"port": 990}, default_port=21)[1] == 990
