@@ -457,26 +457,73 @@ def _fetch_ftp_factory(secure: bool):
     return fn
 
 
+def _sftp_batch_command(
+    host: str, port: int, user: str, path: str, tmp: str, sftp_bin: str = "sftp"
+) -> tuple[list[str], str]:
+    """argv + stdin batch script for an OpenSSH ``sftp`` batch-mode get.
+    Pure function (unit-testable without a server). BatchMode forbids
+    interactive prompts, so this path is key-auth by construction —
+    a hung password prompt can never stall an unattended pipeline."""
+    argv = [
+        sftp_bin,
+        "-P",
+        str(port),
+        "-oBatchMode=yes",
+        "-b",
+        "-",
+        f"{user}@{host}",
+    ]
+    return argv, f"get {path} {tmp}\n"
+
+
 def _fetch_sftp(src: str, dst: str, **opts: Any) -> str:
-    """SFTP fetch — the one protocol that genuinely needs a non-stdlib
-    client (paramiko); honestly gated until it is installed."""
+    """SFTP fetch (ProtocolFactory.cpp:78-118 registers sftp as a
+    first-class protocol): paramiko when installed (password or key
+    auth), else the OpenSSH ``sftp`` client in batch mode (key auth
+    only — BatchMode never prompts); honestly gated when neither
+    client exists."""
+    host, port, user, password, path = _parse_ftp_url(src, opts, default_port=22)
     try:
         import paramiko
-    except ImportError as exc:
-        raise NotImplementedError(
-            "sftp fetch requires paramiko, which is not installed in "
-            "this environment (ftp/ftps work out of the box via stdlib "
-            "ftplib). pip install paramiko, or register a replacement "
-            "via DEFAULT.register_protocol('sftp', fn). On a cluster, "
-            "prefer mounting the remote store instead."
-        ) from exc
+    except ImportError:
+        paramiko = None
 
-    host, port, user, password, path = _parse_ftp_url(src, opts, default_port=22)
-    with paramiko.Transport((host, port)) as transport:
-        transport.connect(username=user, password=password)
-        sftp = paramiko.SFTPClient.from_transport(transport)
-        with _atomic_landing(dst) as tmp:
-            sftp.get(path, tmp)
+    if paramiko is not None:
+        with paramiko.Transport((host, port)) as transport:
+            transport.connect(username=user, password=password)
+            sftp = paramiko.SFTPClient.from_transport(transport)
+            with _atomic_landing(dst) as tmp:
+                sftp.get(path, tmp)
+        return dst
+
+    sftp_bin = opts.get("sftp_bin") or shutil.which("sftp")
+    if sftp_bin is None:
+        raise NotImplementedError(
+            "sftp fetch requires either paramiko or the OpenSSH sftp "
+            "client, and neither is available (ftp/ftps work out of the "
+            "box via stdlib ftplib). pip install paramiko, or register "
+            "a replacement via DEFAULT.register_protocol('sftp', fn). "
+            "On a cluster, prefer mounting the remote store instead."
+        )
+    if password:
+        raise ValueError(
+            "the OpenSSH sftp fallback runs in BatchMode (key auth "
+            "only) and cannot take a password; install paramiko for "
+            "password-authenticated sftp"
+        )
+    import subprocess
+
+    timeout = float(opts.get("timeout", 60.0))
+    with _atomic_landing(dst) as tmp:
+        argv, batch = _sftp_batch_command(host, port, user, path, tmp, sftp_bin)
+        proc = subprocess.run(
+            argv, input=batch, capture_output=True, text=True, timeout=timeout
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"sftp fetch of {src!r} failed (exit {proc.returncode}): "
+                f"{proc.stderr.strip() or proc.stdout.strip()}"
+            )
     return dst
 
 
