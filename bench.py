@@ -37,11 +37,21 @@ def main() -> None:
     for t in TABLES:
         _ = load_table(spark, sf_dir, t).schema
 
+    # Per-query isolation: one broken query must never zero out the
+    # whole round's timings (round 3 lost its entire bench file to a
+    # single AnalysisException). Failures are recorded under "errors"
+    # and the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry):
         spec = registry[name]
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -52,7 +62,14 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
+    # Non-zero exit only when the run is substantially broken (<90%
+    # timed); a stray failure still yields a usable bench record.
+    total = len(timings) + len(errors)
+    if total and len(timings) / total < 0.9:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

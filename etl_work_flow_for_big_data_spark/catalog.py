@@ -34,14 +34,20 @@ BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (columnar parquet scan).
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as
-    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``; we
-    convert to a µs timestamp with integer division (``div`` — a
-    double-valued ``/1000`` would lose precision above 2^53 ns),
-    matching DuckDB's own ns→µs truncation.
+    ``events.ts`` must come out as session-tz TIMESTAMP whatever the
+    parquet physical type is — the driver has shipped both
+    TIMESTAMP(NANOS) (read as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``, converted here with
+    integer division — a double-valued ``/1000`` would lose precision
+    above 2^53 ns) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read
+    as TIMESTAMP directly under
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=false``; the NTZ→
+    TIMESTAMP cast below is the belt-and-braces fallback if a caller
+    session refuses that conf). Queries downstream may assume plain
+    TIMESTAMP semantics (casts, unix_micros, range frames).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     from etl_work_flow_for_big_data_spark.session import tune_session
 
@@ -49,8 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # even when the caller brought an untuned (driver-owned) session
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1351,21 +1351,25 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER w AS BIGINT)      AS n_trailing_1h,
            ROUND(SUM(value) OVER w, 2)          AS value_trailing_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     doc="E2 time-RANGE window frame: per-user trailing-1-hour count and "
-    "sum — the range frame (value-based bounds over event-time seconds) "
-    "next to the row-based running frames in window_analytic. One "
-    "shuffle on the partition key; frames are time-bounded so state "
-    "per row is the trailing hour, not the whole history.",
+    "sum — the range frame (value-based bounds over event-time) next to "
+    "the row-based running frames in window_analytic. Ordered by integer "
+    "epoch-µs (unix_micros ↔ DuckDB epoch_us) so frame-boundary "
+    "inclusion is exact on both engines — a double-valued epoch-seconds "
+    "ordering risks last-bit rounding flips at exact 1-hour gaps, and a "
+    "whole-second one truncates µs fixtures. One shuffle on the "
+    "partition key; frames are time-bounded so state per row is the "
+    "trailing hour, not the whole history.",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("double"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",

@@ -40,6 +40,13 @@ _RUNTIME_CONF = {
     # parquet columns as raw long nanos (catalog.load_table converts
     # to µs timestamps losslessly via integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read naive parquet timestamps (isAdjustedToUTC=false) as
+    # session-tz TIMESTAMP instead of TIMESTAMP_NTZ. With the UTC
+    # session zone above the values are identical to the oracle's naive
+    # reading, every timestamp function/cast stays legal (NTZ forbids
+    # e.g. cast-to-double), and scans keep full predicate pushdown —
+    # no per-column normalization cast needed in the catalog.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DataMap wire packets allow duplicate keys (multimap); the map
     # projection keeps the LAST occurrence (functions/packets.py).
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
