@@ -25,10 +25,19 @@ TABLES = [
     "embeddings",
 ]
 
-#: Small dimensions that are always broadcast-join candidates at any
-#: scale factor (bounded cardinality: 5 regions, 25 nations; suppliers
-#: and parts grow with SF but stay dim-sized relative to the facts).
-BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+#: Dimensions with BOUNDED cardinality (5 regions, 25 nations) — safe
+#: to force-broadcast at any scale factor. customer/supplier/part grow
+#: with SF and must go through ``maybe_broadcast`` instead: a forced
+#: hint overrides autoBroadcastJoinThreshold unconditionally and would
+#: OOM the driver at the 100-TB design point rather than degrade to a
+#: shuffle join.
+BOUNDED_DIMS = {"region", "nation"}
+
+#: Compressed-parquet size above which ``maybe_broadcast`` withholds
+#: the hint. 32 MiB compressed ≈ 64-128 MiB in-memory — at the edge of
+#: the session's 64 MiB autoBroadcastJoinThreshold; beyond it the
+#: decision belongs to AQE's runtime size estimate, not a static hint.
+BROADCAST_MAX_BYTES = 32 * 1024 * 1024
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,6 +71,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Broadcast hint gated on the dim's ACTUAL on-disk size.
+
+    ``F.broadcast`` is unconditional — it overrides
+    ``autoBroadcastJoinThreshold`` and at 100 TB a customer/part dim is
+    fact-sized, so a static hint OOMs the driver instead of degrading.
+    This reads the compressed parquet size (a filesystem stat, no scan
+    job) and only hints when the dim is genuinely broadcast-small;
+    otherwise the plain DataFrame is returned and AQE picks the join
+    strategy from its runtime size estimate.
+
+    ``df`` is passed in (rather than loaded here) so callers keep
+    filtering/projecting before the hint — the broadcast payload is the
+    filtered dim, not the full table.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df  # can't stat (remote/virtual path) — let AQE decide
+    return F.broadcast(df) if size <= BROADCAST_MAX_BYTES else df
 
 
 def table_row_count(sf_dir: str, name: str) -> int:

@@ -66,47 +66,52 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Queries that have never
-# appeared in a CORRECTNESS file come first, then queries whose only
-# record is round 1, then the round-2-green set. Names absent from this
-# list (the round-2-green set) keep registration order at the back;
-# NEW queries must be added to this list to receive a check slot.
+# which queries receive a hard oracle check. Round-4 rotation
+# (VERDICT r3 "Next round" #4): the round-3 red row and the two queries
+# changed this round lead, then the 33 queries whose last hard check is
+# round 2 (the stale set), so the cumulative record is all-83-green
+# within the trailing two rounds. Names absent from this list (the
+# r3-green set, freshly checked) keep registration order at the back;
+# NEW/CHANGED queries must be added to the front to receive a slot.
 _CHECK_PRIORITY = [
-    # -- never driver-checked through round 2 (VERDICT r2 "What's missing" #1)
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_apply",
-    "dedup_components",
-    "decontaminate",
-    "llm_clean_corpus",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "ts_gapfill",
-    "route_assign",
-    "text_fingerprint",
-    "text_token_regex",
-    "text_chunk",
-    "text_scrub",
-    "text_editdist",
-    "split_assign",
-    "pack_sequences",
-    "mix_weighted",
-    "sim_ann_multiprobe",
-    "join_salted",
-    "window_ntile",
-    "agg_grouping_sets",
+    # -- red in round 3 (fixed this round: integer epoch-µs ordering)
     "window_range_frame",
-    # -- checked in round 1 only (the r2 run never reached them)
-    "sim_topk",
-    "sim_pairs",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
+    # -- reshaped this round to a non-empty expected result
+    "join_anti",
+    # -- last hard check is round 2 (r3 spent its 50 slots elsewhere)
+    "join_left",
+    "join_semi",
+    "join_star",
+    "join_range",
+    "join_asof",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_conditional",
+    "agg_stats",
+    "window_rank",
+    "window_analytic",
+    "topk",
+    "sort_multi",
+    "set_union",
+    "agg_cube",
+    "subquery_exists",
+    "subquery_scalar",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "agg_pivot",
+    "agg_unpivot",
+    "null_handling",
+    "agg_approx_quantile",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "merge_upsert",
+    "profile_columns",
+    "dq_validate",
 ]
 
 

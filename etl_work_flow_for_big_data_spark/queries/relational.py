@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_work_flow_for_big_data_spark.catalog import load_table
+from etl_work_flow_for_big_data_spark.catalog import load_table, maybe_broadcast
 from etl_work_flow_for_big_data_spark.operators.joins import asof_join, range_join
 from etl_work_flow_for_big_data_spark.queries import query
 
@@ -116,14 +116,24 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.c_custkey, c.c_name, c.c_mktsegment
     FROM customer c
-    ANTI JOIN orders o ON o.o_custkey = c.c_custkey
+    ANTI JOIN (SELECT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT') o
+      ON o.o_custkey = c.c_custkey
     """,
     doc="C2 reject path — packets with no live session are dropped "
-    "(MFramework.cpp:1308-1312) → left_anti join",
+    "(MFramework.cpp:1308-1312) → left_anti join. The right side is "
+    "filtered to urgent orders so the expected result is NON-empty at "
+    "every SF (18/203/1986 rows at sf0.001/0.01/0.1) — the bare "
+    "customer-vs-all-orders version returned 0 rows at every SF, which "
+    "passed the oracle trivially while exercising nothing.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
@@ -209,7 +219,7 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -751,7 +761,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -794,7 +804,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -993,7 +1003,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p, sf_dir, "part"), l.l_partkey == p.p_partkey)
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
         )
@@ -1069,9 +1079,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            maybe_broadcast(s, sf_dir, "supplier"),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1115,7 +1125,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t.join(o, t.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

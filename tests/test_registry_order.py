@@ -1,48 +1,59 @@
 """Registry iteration-order contract.
 
 The driver's per-round CORRECTNESS run caps at 50 queries in
-registry-iteration order, so ordering is load-bearing: any query that
-has never received a hard driver check must appear within the first 50
-slots of ``load_all()``. See queries/__init__.py ``_CHECK_PRIORITY``.
+registry-iteration order, so ordering is load-bearing: the round's
+red/changed queries plus the stalest-checked set must appear within the
+first 50 slots of ``load_all()``. See queries/__init__.py
+``_CHECK_PRIORITY``.
 """
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Never driver-checked through round 2 (VERDICT r2, "What's missing" #1).
-NEVER_CHECKED = [
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_apply",
-    "dedup_components",
-    "decontaminate",
-    "llm_clean_corpus",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "ts_gapfill",
-    "route_assign",
-    "text_fingerprint",
-    "text_token_regex",
-    "text_chunk",
-    "text_scrub",
-    "text_editdist",
-    "split_assign",
-    "pack_sequences",
-    "mix_weighted",
-    "sim_ann_multiprobe",
-    "join_salted",
-    "window_ntile",
-    "agg_grouping_sets",
+# Round-4 must-check set: the round-3 red row, the two queries changed
+# this round, and the 33 queries whose last hard check is round 2.
+MUST_CHECK_R4 = [
     "window_range_frame",
+    "join_anti",
+    "join_left",
+    "join_semi",
+    "join_star",
+    "join_range",
+    "join_asof",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_conditional",
+    "agg_stats",
+    "window_rank",
+    "window_analytic",
+    "topk",
+    "sort_multi",
+    "set_union",
+    "agg_cube",
+    "subquery_exists",
+    "subquery_scalar",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "agg_pivot",
+    "agg_unpivot",
+    "null_handling",
+    "agg_approx_quantile",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "merge_upsert",
+    "profile_columns",
+    "dq_validate",
 ]
 
 
-def test_never_checked_queries_lead_the_registry():
+def test_stale_and_changed_queries_lead_the_registry():
     names = list(load_all())
     first_50 = set(names[:50])
-    missing = [n for n in NEVER_CHECKED if n not in first_50]
+    missing = [n for n in MUST_CHECK_R4 if n not in first_50]
     assert not missing, f"queries outside the driver's 50-slot window: {missing}"
 
 
