@@ -78,6 +78,8 @@ _CHECK_PRIORITY = [
     "window_range_frame",
     # -- reshaped this round to a non-empty expected result
     "join_anti",
+    # -- NEW this round: dependency-free header decode
+    "mm_decode",
     # -- last hard check is round 2 (r3 spent its 50 slots elsewhere)
     "join_left",
     "join_semi",

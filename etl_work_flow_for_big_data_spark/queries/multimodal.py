@@ -111,6 +111,79 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _be(col, nbytes: int):
+    """Big-endian unsigned bytes of an int column (JVM-side: hex→pad→
+    unhex — no Python in the synth path)."""
+    return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+
+def _le(col, nbytes: int):
+    """Little-endian unsigned bytes — BE hex with byte pairs reversed."""
+    h = F.lpad(F.hex(col), nbytes * 2, "0")
+    pairs = [F.substring(h, i * 2 + 1, 2) for i in reversed(range(nbytes))]
+    return F.unhex(F.concat(*pairs))
+
+
+@query(
+    "mm_decode",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'jpeg' END AS format,
+           CAST(16 + doc_id % 1009 AS INT) AS width,
+           CAST(16 + doc_id % 509  AS INT) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="I5 header-level media decode (dependency-free): PNG/GIF/BMP/"
+    "JPEG container headers are SYNTHESIZED with JVM-side byte "
+    "expressions (hex/unhex/concat — endianness encoded in SQL, "
+    "independent of the Python parser), prepended to the document "
+    "payload, then parsed back by the Arrow-batched decode_media "
+    "kernel. The oracle recomputes format/width/height closed-form "
+    "from doc_id, so a parser endianness/offset bug hash-mismatches. "
+    "Real pixel decode stays gated (decode_pixels).",
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.multimodal.columns import decode_media
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 1009).cast("int")
+    h = (F.lit(16) + F.col("doc_id") % 509).cast("int")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),
+        F.lit((13).to_bytes(4, "big")),
+        F.lit(b"IHDR"),
+        _be(w, 4),
+        _be(h, 4),
+        F.lit(b"\x08\x06\x00\x00\x00"),
+    )
+    gif = F.concat(F.lit(b"GIF89a"), _le(w, 2), _le(h, 2), F.lit(b"\x00\x00\x00"))
+    bmp = F.concat(
+        F.lit(b"BM"),
+        F.lit((26).to_bytes(4, "little")),
+        F.lit(b"\x00\x00\x00\x00"),
+        F.lit((26).to_bytes(4, "little")),
+        F.lit((40).to_bytes(4, "little")),
+        _le(w, 4),
+        _le(h, 4),
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0"),
+        F.lit((17).to_bytes(2, "big")),
+        F.lit(b"\x08"),
+        _be(h, 2),
+        _be(w, 2),
+        F.lit(b"\x00\x00"),
+    )
+    m = F.col("doc_id") % 4
+    hdr = F.when(m == 0, png).when(m == 1, gif).when(m == 2, bmp).otherwise(jpeg)
+    payload = d.withColumn("content", F.concat(hdr, F.encode("text", "UTF-8")))
+    return decode_media(payload, "doc_id").select(
+        F.col("id").alias("doc_id"), "format", "width", "height"
+    )
+
+
 @query(
     "mm_resize",
     """

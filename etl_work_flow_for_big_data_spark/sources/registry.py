@@ -341,7 +341,16 @@ def write_kafka(
 
 
 def _read_kafka(spark: SparkSession, path: str, **opts: Any) -> DataFrame:
-    """Batch kafka scan; ``path`` is the bootstrap-server list."""
+    """Batch kafka scan; ``path`` is the bootstrap-server list.
+
+    Jar provenance note: the spark-sql-kafka-0-10 connector is NOT
+    bundled with pyspark, the build sandbox has no network (Maven
+    Central unresolvable) and no jar on disk, so an end-to-end
+    produce/consume round-trip cannot run here — the option builder,
+    wire codec (``kafka_wire_frame``/``kafka_packets``) and this
+    jar-gate contract are what the tests pin. On any real deployment
+    the standard ``spark.jars.packages`` line in the error message
+    below makes the same code path live without modification."""
     o = kafka_reader_options(path, **opts)
     try:
         return spark.read.format("kafka").options(**o).load()

@@ -59,9 +59,77 @@ def test_sample_frames_one_to_n(media):
     assert bytes(by_id[2][2]["frame_bytes"]) == b"xx"  # tail frame 2 bytes
 
 
-def test_decode_gated(media):
+def test_pixel_decode_gated(media):
+    from etl_work_flow_for_big_data_spark.multimodal.columns import decode_pixels
+
     with pytest.raises(NotImplementedError, match="decoder"):
-        decode_media(media)
+        decode_pixels(media)
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\xf7\x00\x00"
+
+
+def _bmp(w: int, h: int) -> bytes:
+    # 14-byte file header + BITMAPINFOHEADER with negative (top-down) height
+    return (
+        b"BM"
+        + (26).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (26).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h).to_bytes(4, "little", signed=True)
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI, APP0 (skipped by the marker walk), then SOF0 with dims
+    app0 = b"\xff\xe0" + (15).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 8
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_decode_media_parses_headers(spark):
+    payloads = [
+        (1, _png(640, 480)),
+        (2, _gif(320, 200)),
+        (3, _bmp(800, 600)),
+        (4, _jpeg(1024, 768)),
+        (5, b"not an image at all"),
+        (6, b"\x89PN"),  # truncated magic
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    rows = {r["id"]: r for r in decode_media(df, "doc_id").collect()}
+    assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("png", 640, 480)
+    assert (rows[2]["format"], rows[2]["width"], rows[2]["height"]) == ("gif", 320, 200)
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("bmp", 800, 600)
+    assert (rows[4]["format"], rows[4]["width"], rows[4]["height"]) == (
+        "jpeg",
+        1024,
+        768,
+    )
+    assert rows[5]["format"] is None and rows[5]["width"] is None
+    assert rows[6]["format"] is None
+    assert rows[5]["n_bytes"] == len(b"not an image at all")
 
 
 def test_metadata_scan_prunes_payload(media, tmp_path):

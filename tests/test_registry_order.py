@@ -14,6 +14,7 @@ from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 MUST_CHECK_R4 = [
     "window_range_frame",
     "join_anti",
+    "mm_decode",
     "join_left",
     "join_semi",
     "join_star",
