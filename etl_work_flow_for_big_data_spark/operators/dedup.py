@@ -70,24 +70,63 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles appearing in more than that many docs
     before pairing (quadratic-cost control at scale; None = keep all).
     Returns (d1, d2, jaccard) with d1 < d2.
+
+    Two physical strategies by ``max_df``:
+
+    - **bounded (max_df set)** — posting-list pair generation (the
+      Vernica/Carey inverted-index join): ONE shuffle groups the index
+      by shingle, the df bound is a free ``size(ids) <= max_df``
+      filter on the posting list, and candidate pairs are generated
+      in-group with a combinations explode whose per-task work is
+      ≤ max_df², by construction un-skewable. This replaced a
+      df-aggregate + semi-join + index self-join (three shuffles of
+      the exploded index) that measured ~2× slower at sf0.1 and
+      shuffles 2× the index volume at any scale.
+    - **unbounded (max_df=None)** — index self-join on shingle
+      (sort-merge streams unbounded posting lists; an in-group
+      explode would materialize a hot shingle's df² pairs in one
+      task).
+
+    Nothing is persisted: every branch's lineage above the final joins
+    is scan→explode→one shuffle, cheaper to recompute than to
+    materialize (measured at sf0.1; at larger corpora persist the
+    INPUT df, not the index).
     """
     idx = shingle_index(df, text_col, id_col, k)
     if max_df is not None:
-        rare = (
+        grouped = (
             idx.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") <= max_df)
         )
-        idx = idx.join(rare, "sh")
-    sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.alias("a")
-    b = idx.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        # all i<j combinations of the (distinct-per-doc) posting list;
+        # least/greatest canonicalizes to d1 < d2
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
+                    "struct(least(x, y) as d1, greatest(x, y) as d2))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        inter = pairs.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
+        sizes = (
+            grouped.select(F.explode("ids").alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+    else:
+        sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        a = idx.alias("a")
+        b = idx.alias("b")
+        inter = (
+            a.join(
+                b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     na = sizes.select(F.col("id").alias("d1"), F.col("n_sh").alias("n1"))
     nb = sizes.select(F.col("id").alias("d2"), F.col("n_sh").alias("n2"))
     return (
