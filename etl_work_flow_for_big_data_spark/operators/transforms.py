@@ -172,43 +172,106 @@ def distributed_ntile(
     n_buckets: int,
     out_col: str = "ntile",
     n_parts: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Exact ``NTILE(n) OVER (ORDER BY order_cols)`` without a
     single-partition sort — the scale-safe global quantile binning.
 
     A plain global-order window funnels every row through ONE task's
     sort. This instead uses the classic distributed-ranking shape:
+    split the key space into contiguous ranges, count rows per range
+    (constant-size driver collect), then global rank = range's prefix
+    offset + partition-local row_number, and NTILE's closed form
+    (first N%n buckets get one extra row) maps rank → bucket.
 
-    1. range-repartition on the order key (each partition owns a
-       contiguous key range, ranges ordered by partition id) and
-       **materialize once** (eager localCheckpoint) so partition
-       membership is frozen — range boundaries come from sampling, and
-       the offsets computed in step 2 must describe the exact same
-       partitioning the window in step 3 runs over;
-    2. per-partition row counts → prefix-sum offsets (one driver
-       collect of n_parts rows — constant-size, not data-size);
-    3. partition-local row_number + the partition's offset = exact
-       global rank; NTILE's closed form (first N%n buckets get one
-       extra row) maps rank → bucket.
+    The subtle requirement is that the per-range COUNTS and the final
+    WINDOW must describe the exact same row→range assignment across
+    two separate jobs. Two strategies, chosen by ``strategy``:
 
-    Every partition sorts only its own range; the data-size costs are
-    the one checkpoint materialization plus the window's single hash
-    shuffle on partition id (which cannot skew beyond a range's size).
+    - ``"split_points"`` (numeric first order key only): range split
+      points come from one ``approxQuantile`` pass and are LITERALIZED
+      into the assignment expression (``count of split points < key``)
+      — both jobs share the literals, so assignment is deterministic
+      by construction and NOTHING is materialized. Ties on a split
+      value land in one range (tie-break columns order them inside the
+      window); skewed hot values bound a range's size exactly like
+      they bound a sort partition. Cost: two scans + one quantile
+      pass + the window's shuffle.
+    - ``"checkpoint"``: ``repartitionByRange`` (sampled,
+      nondeterministic boundaries) frozen by ONE eager
+      localCheckpoint so both downstream reads see the same
+      assignment. Works for any orderable key type, but materializes
+      the dataset — fine below memory scale, ruinous at 100 TB.
+    - ``"auto"`` (default): optimizer-style pick from the plan's
+      sizeInBytes statistic — checkpoint below 1 GiB (an in-memory
+      copy is free at that size and skips the quantile job; measured
+      comparable to split points at sf0.1), split points above, where
+      materializing the input stops being an option (or checkpoint
+      again if the leading key is non-numeric; at true scale give the
+      operator a numeric or dictionary-encoded leading key).
+
     ``order_cols`` must be a total order (add a unique tie-break
     column) or ranks — and thus buckets — are nondeterministic at
     range boundaries.
     """
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if strategy not in ("auto", "checkpoint", "split_points"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
 
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+
+    first_numeric = isinstance(
+        df.select(order_cols[0]).schema[0].dataType, NumericType
     )
+    if strategy == "auto":
+        if not first_numeric:
+            strategy = "checkpoint"
+        else:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:  # stats unavailable on this plan shape
+                size = 1 << 62
+            strategy = "checkpoint" if size < (1 << 30) else "split_points"
+    if strategy == "split_points" and not first_numeric:
+        raise ValueError(
+            "split_points strategy needs a numeric leading order column "
+            "(split points are literalized doubles); use checkpoint or "
+            "add a numeric sort key"
+        )
+
+    if strategy == "split_points" and n_parts > 1:
+        keyed = df.withColumn("__k0", order_cols[0].cast("double"))
+        probs = [i / n_parts for i in range(1, n_parts)]
+        # one pass; split points become plan literals below, so every
+        # downstream job assigns rows to ranges identically
+        splits = [
+            s for s in keyed.stat.approxQuantile("__k0", probs, 0.001) if s == s
+        ]  # drop NaN split points (present only when the key has NaNs)
+        if splits:
+            arr = "array(" + ",".join(f"CAST({s!r} AS DOUBLE)" for s in splits) + ")"
+            # null __k0 (null key or non-castable) → all comparisons
+            # null → size 0 → range 0: matches nulls-first ascending.
+            # NaN keys sort LAST in Spark ordering but compare false
+            # against every split — route them to the last range
+            # explicitly.
+            pid = F.when(F.isnan("__k0"), F.lit(len(splits))).otherwise(
+                F.expr(f"size(filter({arr}, __b -> __b < __k0))")
+            )
+        else:  # empty input or a single constant key value
+            pid = F.lit(0)
+        ranged = keyed.withColumn("__pid", pid).drop("__k0")
+    else:
+        ranged = (
+            df.repartitionByRange(n_parts, *order_cols)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()

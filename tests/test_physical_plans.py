@@ -238,6 +238,89 @@ def test_distributed_ntile_matches_global_ntile(spark):
     assert got == want
 
 
+def test_distributed_ntile_fast_path_adversarial_keys(spark):
+    """The literalized-split-points fast path must match global NTILE
+    on adversarial numeric keys: heavy ties (hot value spanning a
+    split point), nulls (sort first), NaN (sorts LAST in Spark
+    ordering but compares false against every split), and a
+    constant-key corpus (no usable split points)."""
+    from pyspark.sql import Window as W
+
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    vals = (
+        [5.0] * 9  # hot tie value
+        + [None, None]
+        + [float("nan"), float("nan")]
+        + [1.0, 2.0, 3.0, 7.0, 8.0, 9.0, 10.0]
+    )
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    want = {
+        (r.id, r.q)
+        for r in df.select(
+            "id", F.ntile(4).over(W.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    got = {
+        (r.id, r.q)
+        for r in distributed_ntile(
+            df,
+            [F.col("v"), F.col("id")],
+            4,
+            out_col="q",
+            n_parts=5,
+            strategy="split_points",
+        ).collect()
+    }
+    assert got == want
+
+    const = spark.createDataFrame([(i, 1.0) for i in range(7)], "id long, v double")
+    want_c = {
+        (r.id, r.q)
+        for r in const.select(
+            "id", F.ntile(3).over(W.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    got_c = {
+        (r.id, r.q)
+        for r in distributed_ntile(
+            const,
+            [F.col("v"), F.col("id")],
+            3,
+            out_col="q",
+            n_parts=4,
+            strategy="split_points",
+        ).collect()
+    }
+    assert got_c == want_c
+
+
+def test_distributed_ntile_fast_path_no_materialization(spark):
+    """The numeric fast path must not localCheckpoint the dataset: the
+    input's logical lineage (here a Range source) survives into the
+    final plan instead of being truncated to a checkpoint RDD barrier.
+    (The constant-size offsets table is a LogicalRDD by construction —
+    only the DATA branch's lineage matters.)"""
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    df = spark.range(100).select(
+        "id", (F.col("id") % 13).cast("double").alias("v")
+    )
+    out = distributed_ntile(
+        df, [F.col("v"), F.col("id")], 4, out_col="q", n_parts=4,
+        strategy="split_points",
+    )
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Range (0, 100" in optimized, optimized
+    # and the split points are plan literals, not a recomputed subquery
+    assert "approx" not in optimized.lower()
+
+
 def test_join_salted_spreads_hot_key(spark, sf_dir):
     """The salted join's shuffle keys include the salt (hot key spread
     over n_salts reducers) while the oracle-identical result carries no
