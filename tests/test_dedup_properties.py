@@ -110,3 +110,56 @@ def test_fetch_url_without_host_raises():
 
     with pytest.raises(ValueError, match="host"):
         DEFAULT.fetch("ftp", "ftp:///no-host-here", "/tmp/x")
+
+
+def _brute_force_pairs(rows, k, threshold, max_df=None):
+    """Pure-Python reference for ngram_jaccard_pairs semantics."""
+    sh = {}
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        sh[i] = {
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        }
+    if max_df is not None:
+        from collections import Counter
+
+        df_counts = Counter(s for ss in sh.values() for s in ss)
+        sh = {i: {s for s in ss if df_counts[s] <= max_df} for i, ss in sh.items()}
+    out = {}
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and round(inter / union, 4) >= threshold:
+                out[(a, b)] = round(inter / union, 4)
+    return out
+
+
+def test_both_strategies_match_brute_force(spark):
+    """The bounded (posting-list) and unbounded (self-join) pair
+    strategies both reproduce the brute-force set-Jaccard reference on
+    a corpus mixing boilerplate (hot shingles), near-dups, exact dups,
+    and sub-k-token shorts."""
+    boiler = "the quick brown fox jumps"  # shared 5-gram boilerplate
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " alpha beta gamma delta"),      # exact dup of 1
+        (3, boiler + " alpha beta gamma EPSILON"),    # near-dup of 1
+        (4, boiler + " zeta eta theta iota"),
+        (5, boiler + " kappa lambda mu nu"),
+        (6, "wholly unrelated words that still span five tokens here"),
+        (7, "too short"),                              # < k tokens: no shingles
+        (8, boiler),                                   # boilerplate only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for max_df in (None, 3):
+        want = _brute_force_pairs(rows, k=5, threshold=0.3, max_df=max_df)
+        got = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", k=5, threshold=0.3, max_df=max_df
+            ).collect()
+        }
+        assert got == want, f"max_df={max_df}"
