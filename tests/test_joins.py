@@ -115,3 +115,49 @@ class TestMergeUpsert:
             ).collect()
         )
         assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d")]
+
+
+class TestAsofBruteForce:
+    """asof_join vs a pure-Python reference: backward and forward
+    directions, equal-timestamp ties (resolve to the right row), keys
+    with no right rows (null payload), duplicate left timestamps."""
+
+    LEFT = [
+        # (key, t)
+        ("a", 1), ("a", 5), ("a", 5), ("a", 10),
+        ("b", 3),
+        ("c", 7),          # no right rows for key c
+    ]
+    RIGHT = [
+        # (key, t, rate)
+        ("a", 0, 1.0), ("a", 5, 2.0), ("a", 8, 3.0),
+        ("b", 4, 9.0),  # after the only left b row
+    ]
+
+    def _want(self, direction):
+        out = []
+        for k, t in self.LEFT:
+            cands = [
+                (rt, v)
+                for (rk, rt, v) in self.RIGHT
+                if rk == k and (rt <= t if direction == "backward" else rt >= t)
+            ]
+            if direction == "backward":
+                best = max(cands, default=None)
+            else:
+                best = min(cands, default=None)
+            out.append((k, t, best[1] if best else None))
+        return sorted(out, key=lambda r: (r[0], r[1], str(r[2])))
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_reference(self, spark, direction):
+        from etl_work_flow_for_big_data_spark.operators.joins import asof_join
+
+        left = spark.createDataFrame(self.LEFT, "k string, t long")
+        right = spark.createDataFrame(self.RIGHT, "k string, rt long, rate double")
+        got = sorted(
+            ((r["k"], r["t"], r["rate"]) for r in
+             asof_join(left, right, "k", "t", "rt", direction=direction).collect()),
+            key=lambda r: (r[0], r[1], str(r[2])),
+        )
+        assert got == self._want(direction), direction
