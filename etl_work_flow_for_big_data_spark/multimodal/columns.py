@@ -3,11 +3,16 @@ feature extraction (SURVEY.md §2.I I5).
 
 Media columns are opaque ``binary`` with a typed metadata struct; all
 per-record compute runs as Arrow-batched ``mapInPandas`` (never
-row-at-a-time Python). The actual decoders (PIL/ffmpeg/librosa) are
-NOT bundled in this environment, so decode is stubbed two ways:
+row-at-a-time Python). Decode is layered by what this environment can
+honestly do:
 
-- ``decode_media``: raises ``NotImplementedError`` with wiring
-  instructions (the honest gate for real deployments);
+- ``decode_media``: REAL header-level decode — container format +
+  pixel dimensions parsed from magic bytes (PNG/GIF/BMP/JPEG), zero
+  dependencies; unknown/corrupt/null payloads yield nulls, never task
+  failures;
+- ``decode_pixels``: raises ``NotImplementedError`` with wiring
+  instructions (the honest gate — full pixel/sample decode needs
+  PIL/ffmpeg/librosa, which are not bundled);
 - ``extract_features`` / ``sample_frames``: deterministic fakes that
   exercise the REAL Spark plumbing — schema contracts, Arrow batch
   shapes, partition-parallel execution — so the pipeline around the
@@ -57,24 +62,32 @@ DECODE_SCHEMA = "id long, format string, width int, height int, n_bytes long"
 
 def _parse_header(b: bytes) -> tuple[str | None, int | None, int | None]:
     """(format, width, height) from container magic bytes — pure
-    stdlib, no imaging dependency. Unknown/truncated payloads return
-    (None, None, None) rather than raising: at 100 TB a corrupt record
-    must not kill the task."""
-    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+    stdlib, no imaging dependency. Unknown payloads return
+    (None, None, None); a recognized magic with a truncated/missing
+    dimension header returns (format, None, None) — consistently for
+    every format. Never raises: at 100 TB a corrupt record must not
+    kill the task."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 24:  # magic present, IHDR dims truncated
+            return ("png", None, None)
         # 8-byte signature, IHDR length+type, then 4-byte BE width/height
         return (
             "png",
             int.from_bytes(b[16:20], "big"),
             int.from_bytes(b[20:24], "big"),
         )
-    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) < 10:
+            return ("gif", None, None)
         # logical screen descriptor: 2-byte LE width/height at offset 6
         return (
             "gif",
             int.from_bytes(b[6:8], "little"),
             int.from_bytes(b[8:10], "little"),
         )
-    if b[:2] == b"BM" and len(b) >= 26:
+    if b[:2] == b"BM":
+        if len(b) < 26:
+            return ("bmp", None, None)
         # BITMAPINFOHEADER: 4-byte LE signed width/height at 18/22
         # (height may be negative = top-down rows)
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -113,14 +126,22 @@ def decode_media(
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [_parse_header(bytes(b)) for b in pdf["content"]]
+            # NULL payloads (nullable binary columns are routine) parse
+            # to all-null, honoring the never-kill-the-task contract
+            parsed = [
+                (None, None, None) if b is None else _parse_header(bytes(b))
+                for b in pdf["content"]
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "format": [p[0] for p in parsed],
                     "width": pd.array([p[1] for p in parsed], dtype="Int32"),
                     "height": pd.array([p[2] for p in parsed], dtype="Int32"),
-                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["content"]],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -75,10 +75,14 @@ def ngram_jaccard_pairs(
 
     - **bounded (max_df set)** — posting-list pair generation (the
       Vernica/Carey inverted-index join): ONE shuffle groups the index
-      by shingle, the df bound is a free ``size(ids) <= max_df``
-      filter on the posting list, and candidate pairs are generated
-      in-group with a combinations explode whose per-task work is
-      ≤ max_df², by construction un-skewable. This replaced a
+      by shingle, and candidate pairs are generated in-group with a
+      combinations explode whose per-task work is ≤ max_df², by
+      construction un-skewable. The df bound is applied with a
+      count-over-shingle WINDOW before ``collect_list`` (same shuffle
+      key, exchange reused): the window buffer spills hot stop-shingle
+      groups to disk, whereas filtering AFTER collect_list would first
+      materialize a df-sized array in one aggregation buffer — the
+      exact skew/OOM the bound exists to prevent. This replaced a
       df-aggregate + semi-join + index self-join (three shuffles of
       the exploded index) that measured ~2× slower at sf0.1 and
       shuffles 2× the index volume at any scale.
@@ -94,10 +98,14 @@ def ngram_jaccard_pairs(
     """
     idx = shingle_index(df, text_col, id_col, k)
     if max_df is not None:
+        from pyspark.sql import Window
+
+        n_df = F.count(F.lit(1)).over(Window.partitionBy("sh"))
         grouped = (
-            idx.groupBy("sh")
+            idx.withColumn("__df", n_df)
+            .filter(F.col("__df") <= max_df)
+            .groupBy("sh")
             .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") <= max_df)
         )
         # all i<j combinations of the (distinct-per-doc) posting list;
         # least/greatest canonicalizes to d1 < d2

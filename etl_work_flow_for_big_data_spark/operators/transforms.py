@@ -224,9 +224,11 @@ def distributed_ntile(
     spark = df.sparkSession
     n_parts = n_parts or spark.sparkContext.defaultParallelism
 
-    first_numeric = isinstance(
-        df.select(order_cols[0]).schema[0].dataType, NumericType
+    # accept plain column names like every other DataFrame API
+    first_col = (
+        order_cols[0] if not isinstance(order_cols[0], str) else F.col(order_cols[0])
     )
+    first_numeric = isinstance(df.select(first_col).schema[0].dataType, NumericType)
     if strategy == "auto":
         if not first_numeric:
             strategy = "checkpoint"
@@ -245,14 +247,26 @@ def distributed_ntile(
             "add a numeric sort key"
         )
 
-    if strategy == "split_points" and n_parts > 1:
-        keyed = df.withColumn("__k0", order_cols[0].cast("double"))
+    if strategy == "split_points":
+        import math
+
+        keyed = df.withColumn("__k0", first_col.cast("double"))
         probs = [i / n_parts for i in range(1, n_parts)]
         # one pass; split points become plan literals below, so every
-        # downstream job assigns rows to ranges identically
-        splits = [
-            s for s in keyed.stat.approxQuantile("__k0", probs, 0.001) if s == s
-        ]  # drop NaN split points (present only when the key has NaNs)
+        # downstream job assigns rows to ranges identically. Non-finite
+        # split points are dropped: NaN/±inf have no SQL double literal
+        # (repr would emit an unresolvable `inf` identifier) and
+        # ±inf KEYS compare correctly against finite splits anyway
+        # (-inf → range 0, +inf → last range).
+        splits = (
+            [
+                s
+                for s in keyed.stat.approxQuantile("__k0", probs, 0.001)
+                if math.isfinite(s)
+            ]
+            if n_parts > 1
+            else []
+        )
         if splits:
             arr = "array(" + ",".join(f"CAST({s!r} AS DOUBLE)" for s in splits) + ")"
             # null __k0 (null key or non-castable) → all comparisons

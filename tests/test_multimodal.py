@@ -109,13 +109,20 @@ def _jpeg(w: int, h: int) -> bytes:
 
 
 def test_decode_media_parses_headers(spark):
+    from etl_work_flow_for_big_data_spark.multimodal.columns import HEADER_FORMATS
+
     payloads = [
         (1, _png(640, 480)),
         (2, _gif(320, 200)),
         (3, _bmp(800, 600)),
         (4, _jpeg(1024, 768)),
         (5, b"not an image at all"),
-        (6, b"\x89PN"),  # truncated magic
+        (6, b"\x89PN"),  # truncated BEFORE the full magic: unknown
+        (7, None),  # null payload: all-null row, not a task failure
+        (8, b"\x89PNG\r\n\x1a\n\x00\x00"),  # full magic, dims truncated
+        (9, b"GIF89a\x01"),
+        (10, b"BM\x00"),
+        (11, b"\xff\xd8\xff"),  # JPEG SOI, SOF missing
     ]
     df = spark.createDataFrame(payloads, "doc_id long, content binary")
     rows = {r["id"]: r for r in decode_media(df, "doc_id").collect()}
@@ -130,6 +137,17 @@ def test_decode_media_parses_headers(spark):
     assert rows[5]["format"] is None and rows[5]["width"] is None
     assert rows[6]["format"] is None
     assert rows[5]["n_bytes"] == len(b"not an image at all")
+    assert rows[7]["format"] is None and rows[7]["n_bytes"] is None
+    # recognized magic + truncated header → (format, null, null),
+    # consistently for every format in HEADER_FORMATS
+    truncated = {8: "png", 9: "gif", 10: "bmp", 11: "jpeg"}
+    assert set(truncated.values()) == set(HEADER_FORMATS)
+    for i, fmt in truncated.items():
+        assert (rows[i]["format"], rows[i]["width"], rows[i]["height"]) == (
+            fmt,
+            None,
+            None,
+        ), fmt
 
 
 def test_metadata_scan_prunes_payload(media, tmp_path):

@@ -329,3 +329,49 @@ def test_join_salted_spreads_hot_key(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     assert "__salt" not in df.columns
+
+
+def test_distributed_ntile_fast_path_edge_inputs(spark):
+    """Edge inputs the split-points strategy must survive: plain string
+    order columns, ±inf keys (no SQL literal for inf — splits filtered
+    to finite, keys compare correctly), and explicit split_points with
+    n_parts=1 (degenerate single range, still no materialization)."""
+    from pyspark.sql import Window as W
+
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    df = spark.range(50).select("id", (F.col("id") % 7).cast("double").alias("v"))
+    assert (
+        distributed_ntile(
+            df, ["v", "id"], 4, out_col="q", n_parts=4, strategy="split_points"
+        ).count()
+        == 50
+    )
+
+    inf = spark.createDataFrame(
+        [(1, float("inf")), (2, float("-inf")), (3, 1.0), (4, 2.0), (5, 3.0), (6, 4.0)],
+        "id long, v double",
+    )
+    want = {
+        (r.id, r.q)
+        for r in inf.select(
+            "id", F.ntile(3).over(W.orderBy("v", "id")).alias("q")
+        ).collect()
+    }
+    got = {
+        (r.id, r.q)
+        for r in distributed_ntile(
+            inf, [F.col("v"), F.col("id")], 3, out_col="q", n_parts=3,
+            strategy="split_points",
+        ).collect()
+    }
+    assert got == want
+
+    one = distributed_ntile(
+        df, [F.col("v"), F.col("id")], 4, out_col="q", n_parts=1,
+        strategy="split_points",
+    )
+    assert "Range (0, 50" in one._jdf.queryExecution().optimizedPlan().toString()
+    assert one.count() == 50
