@@ -7,6 +7,11 @@ Each query is timed as plan-build + full execution through Spark's
 ``noop`` sink — every row is produced and materialized by the engine
 but never converted to Python objects, so the measurement is
 scan/shuffle/agg/write throughput, not driver-side row conversion.
+
+Queries whose first shot exceeds 1 s are re-run twice and reported as
+median-of-3 (also echoed under a top-level ``med3`` map): single-shot
+timings at sf0.1 swing ±30%, so round-over-round deltas on the heavy
+set are only attributable signal when medianed.
 """
 
 from __future__ import annotations
@@ -42,17 +47,36 @@ def main() -> None:
     # single AnalysisException). Failures are recorded under "errors"
     # and the JSON line is ALWAYS emitted.
     timings: dict[str, float] = {}
+    med3: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _run_once(spec) -> float:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
     for name in sorted(registry):
         spec = registry[name]
-        t0 = time.perf_counter()
         try:
-            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            first = _run_once(spec)
         except Exception as exc:  # noqa: BLE001 — harness boundary
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Heavies get median-of-3: single-shot timings at sf0.1 swing
+        # ±30% (JIT/GC/page-cache), so a 1.3× round-over-round "change"
+        # on a >1 s query is noise unless medianed. Cheap queries stay
+        # single-shot — their absolute error is bounded by their cost.
+        if first > 1.0:
+            runs = [first]
+            for _ in range(2):
+                try:
+                    runs.append(_run_once(spec))
+                except Exception:  # noqa: BLE001 — keep what we have
+                    break
+            timings[name] = med3[name] = round(sorted(runs)[len(runs) // 2], 3)
+        else:
+            timings[name] = round(first, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -62,6 +86,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if med3:
+        out["med3"] = med3
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -82,10 +82,20 @@ def ngram_jaccard_pairs(
       key, exchange reused): the window buffer spills hot stop-shingle
       groups to disk, whereas filtering AFTER collect_list would first
       materialize a df-sized array in one aggregation buffer — the
-      exact skew/OOM the bound exists to prevent. This replaced a
-      df-aggregate + semi-join + index self-join (three shuffles of
-      the exploded index) that measured ~2× slower at sf0.1 and
-      shuffles 2× the index volume at any scale.
+      exact skew/OOM the bound exists to prevent.
+
+      Two rejected-by-measurement alternatives (med-of-5, interleaved
+      in one session, sf0.1): (a) a broadcast stop-shingle blocklist
+      (``groupBy(sh).count.filter(> max_df)`` → broadcast left_anti →
+      single collect_list groupBy) — same OOM-safety, but it re-scans
+      and re-explodes the index for the count aggregate and pays an
+      extra broadcast job: 1.7-1.8× slower end-to-end (dedup_apply
+      2.32s vs 1.34s, llm_clean_corpus 2.93s vs 2.06s), and at scale
+      it reads the corpus twice; (b) a df-aggregate + semi-join +
+      index self-join (three shuffles of the exploded index), ~2×
+      slower still. The window shuffles the index exactly once and
+      scans the corpus exactly once; its per-partition sort spills
+      rather than OOMs on hot shingles.
     - **unbounded (max_df=None)** — index self-join on shingle
       (sort-merge streams unbounded posting lists; an in-group
       explode would materialize a hot shingle's df² pairs in one

@@ -66,54 +66,58 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Round-4 rotation
-# (VERDICT r3 "Next round" #4): the round-3 red row and the two queries
-# changed this round lead, then the 33 queries whose last hard check is
-# round 2 (the stale set), so the cumulative record is all-83-green
-# within the trailing two rounds. Names absent from this list (the
-# r3-green set, freshly checked) keep registration order at the back;
-# NEW/CHANGED queries must be added to the front to receive a slot.
+# which queries receive a hard oracle check. Round-5 rotation
+# (VERDICT r4 "Next round" #3): queries whose implementation changed
+# this round lead (they need a fresh hash check), then the 34 queries
+# whose last hard check is round 3 (text/dedup/sim/streaming-window
+# families), so no query's latest check is ever older than two rounds.
+# Names absent from this list (the r4-green, untouched set) keep
+# registration order at the back; NEW/CHANGED queries must be added to
+# the front to receive a slot.
 _CHECK_PRIORITY = [
-    # -- red in round 3 (fixed this round: integer epoch-µs ordering)
-    "window_range_frame",
-    # -- reshaped this round to a non-empty expected result
-    "join_anti",
-    # -- NEW this round: dependency-free header decode
-    "mm_decode",
-    # -- last hard check is round 2 (r3 spent its 50 slots elsewhere)
-    "join_left",
-    "join_semi",
-    "join_star",
-    "join_range",
-    "join_asof",
-    "agg_groupby",
-    "agg_distinct",
-    "agg_approx_distinct",
-    "agg_rollup",
-    "agg_conditional",
-    "agg_stats",
-    "window_rank",
-    "window_analytic",
-    "topk",
-    "sort_multi",
-    "set_union",
-    "agg_cube",
-    "subquery_exists",
-    "subquery_scalar",
-    "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_tier",
-    "agg_pivot",
-    "agg_unpivot",
-    "null_handling",
-    "agg_approx_quantile",
-    "tpch_q14_promo_share",
-    "tpch_q22_idle_customers",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_orders",
-    "merge_upsert",
-    "profile_columns",
+    # -- implementation touched in round 5 (dq_validate went lazy;
+    #    window_ntile auto now always split_points on numeric keys;
+    #    the dedup family's bounded-Jaccard docstring change is
+    #    code-neutral but they also sit in the stale-r3 set)
     "dq_validate",
+    "window_ntile",
+    "dedup_ngram",
+    "dedup_apply",
+    "llm_clean_corpus",
+    "dedup_components",
+    "filter_required",
+    "mm_decode",
+    # -- last hard check is round 3 (r4 spent its 50 slots on the
+    #    then-stale r2 set)
+    "rate_charge",
+    "join_broadcast",
+    "join_salted",
+    "agg_grouping_sets",
+    "sim_topk",
+    "sim_pairs",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_ann_multiprobe",
+    "text_tokens",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_regex",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_chunk",
+    "text_scrub",
+    "split_assign",
+    "pack_sequences",
+    "text_editdist",
+    "decontaminate",
+    "mix_weighted",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "route_assign",
+    "ts_gapfill",
 ]
 
 

@@ -375,3 +375,28 @@ def test_distributed_ntile_fast_path_edge_inputs(spark):
     )
     assert "Range (0, 50" in one._jdf.queryExecution().optimizedPlan().toString()
     assert one.count() == 50
+
+
+def test_dq_validate_lazy_single_scan(spark, sf_dir):
+    """dq_validate must compose lazily like every operator — building
+    the DataFrame runs NO job (the old implementation collected the
+    aggregate at plan-build time) — and the unpivot must be a generator
+    over the single aggregate row, never a per-rule union that clones
+    the aggregate: exactly ONE scan of the source in the final plan."""
+    from etl_work_flow_for_big_data_spark.catalog import load_table
+    from etl_work_flow_for_big_data_spark.operators.transforms import dq_validate
+
+    # load (and schema-infer) OUTSIDE the snapshot: parquet footer
+    # reads are the catalog's jobs, not the operator's
+    li = load_table(spark, sf_dir, "lineitem")
+    _ = li.schema
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    out = dq_validate(li, [("qty_positive", "l_quantity > 0")])
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after, "dq_validate ran a job at plan-build time"
+    # the registered query (4 rules) must still plan exactly one scan
+    plan = _plan(spark, sf_dir, "dq_validate")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate explode" in plan, plan
+    assert out.count() == 1
