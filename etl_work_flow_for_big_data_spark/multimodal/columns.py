@@ -10,9 +10,10 @@ honestly do:
   pixel dimensions parsed from magic bytes (PNG/GIF/BMP/JPEG), zero
   dependencies; unknown/corrupt/null payloads yield nulls, never task
   failures;
-- ``decode_pixels``: raises ``NotImplementedError`` with wiring
-  instructions (the honest gate — full pixel/sample decode needs
-  PIL/ffmpeg/librosa, which are not bundled);
+- ``decode_pixels``: real PIL-backed pixel decode when PIL is
+  importable (or any injected per-record decoder); otherwise raises
+  ``NotImplementedError`` with wiring instructions (the honest gate —
+  no fake pixels, ever);
 - ``extract_features`` / ``sample_frames``: deterministic fakes that
   exercise the REAL Spark plumbing — schema contracts, Arrow batch
   shapes, partition-parallel execution — so the pipeline around the
@@ -97,6 +98,13 @@ def _parse_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         # walk marker segments to the first SOFn (dimensions live there)
         o, n = 2, len(b)
         while o + 9 <= n and b[o] == 0xFF:
+            # 0xFF fill/padding bytes are legal between segments: the
+            # marker is the first non-0xFF byte. Without this skip, a
+            # fill byte falls into the length-skip branch and reads a
+            # garbage length, derailing the walk.
+            if b[o + 1] == 0xFF:
+                o += 1
+                continue
             marker = b[o + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 o += 2  # standalone marker, no length field
@@ -148,21 +156,83 @@ def decode_media(
     return src.mapInPandas(parse, schema=DECODE_SCHEMA)
 
 
-def decode_pixels(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Full pixel/sample decode — requires imaging/audio libraries that
-    are not bundled here. Gate, don't fake: callers wanting real pixels
-    must register a decoder. Header-level decode (format + dimensions)
-    works without dependencies via ``decode_media``."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/ffmpeg/librosa, which are not "
-        "installed in this environment. Wire a real decoder as a "
-        "mapInPandas function with the same signature as "
-        "extract_features (Iterator[pd.DataFrame] -> Iterator["
-        "pd.DataFrame]); the surrounding schema/partitioning plumbing "
-        "is already exercised by the deterministic fake, and "
-        "header-level format/dimension decode is available "
-        "dependency-free via decode_media."
-    )
+PIXELS_SCHEMA = "id long, width int, height int, mode string, pixels binary"
+
+
+def decode_pixels(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder=None,
+) -> DataFrame:
+    """Full pixel decode through the standard Arrow ``mapInPandas``
+    shape (same plumbing as ``decode_media``/``extract_features``).
+
+    Decoder resolution, honest at every step:
+
+    - ``decoder`` given — a ``bytes -> (width, height, mode,
+      pixel_bytes)`` callable — it is used as-is (the injection seam,
+      also how the decode path is exercised in imaging-less CI);
+    - PIL importable — PIL-backed decode (``Image.open`` + ``load`` +
+      ``tobytes``), imported INSIDE the kernel so each executor
+      resolves it locally;
+    - neither — ``NotImplementedError`` with wiring instructions.
+      Gate, don't fake: no synthetic pixels from this function, ever.
+
+    Per-record failures (corrupt/unknown/null payloads) yield all-null
+    rows, never task failures — at 100 TB a corrupt record must not
+    kill the job (same contract as ``decode_media``).
+    """
+    if decoder is None:
+        try:
+            import importlib
+
+            importlib.import_module("PIL.Image")
+        except ImportError as exc:
+            raise NotImplementedError(
+                "pixel decode requires PIL (or an injected decoder); "
+                "neither is available in this environment. Wire a real "
+                "decoder as decode_pixels(df, decoder=fn) where fn: "
+                "bytes -> (width, height, mode, pixel_bytes), or "
+                "install pillow. The surrounding Spark plumbing "
+                "(schema, Arrow batching, partition parallelism) is "
+                "exercised by the injected-decoder tests, and "
+                "header-level format/dimension decode is available "
+                "dependency-free via decode_media."
+            ) from exc
+
+        def decoder(b: bytes):
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(b))
+            img.load()
+            return (img.width, img.height, img.mode, img.tobytes())
+
+    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, modes, px = [], [], [], []
+            for b in pdf["content"]:
+                try:
+                    w, h, mode, pix = decoder(bytes(b))  # raises on None
+                    ws.append(w), hs.append(h), modes.append(mode), px.append(pix)
+                except Exception:  # corrupt/unknown/null → null row
+                    ws.append(None), hs.append(None)
+                    modes.append(None), px.append(None)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mode": modes,
+                    "pixels": px,
+                }
+            )
+
+    return src.mapInPandas(run, schema=PIXELS_SCHEMA)
 
 
 FEATURE_SCHEMA = "id long, n_bytes long, features array<float>"

@@ -178,7 +178,14 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = F.col("doc_id") % 4
     hdr = F.when(m == 0, png).when(m == 1, gif).when(m == 2, bmp).otherwise(jpeg)
-    payload = d.withColumn("content", F.concat(hdr, F.encode("text", "UTF-8")))
+    # coalesce: a NULL text must not null out the whole concat — the
+    # header-derived oracle columns (format/width/height) are
+    # independent of text nullability, and the driver is known to
+    # regenerate fixtures between rounds
+    payload = d.withColumn(
+        "content",
+        F.concat(hdr, F.coalesce(F.encode("text", "UTF-8"), F.lit(b""))),
+    )
     return decode_media(payload, "doc_id").select(
         F.col("id").alias("doc_id"), "format", "width", "height"
     )

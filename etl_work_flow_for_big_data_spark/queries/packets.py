@@ -140,16 +140,23 @@ def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="B3 validity filter: drop packets lacking required key 's' "
     "(MFramework.cpp:1245-1250). The validity test runs against the "
-    "wire frame (anchored rlike for an 's=' line) rather than the "
-    "parsed map: a filter on the parsed-then-cast column gets pushed "
-    "through the projection by Catalyst and re-evaluates the ENTIRE "
-    "kv-parse per row (measured 2x at sf0.1); the wire-level predicate "
-    "is cheap and the parse then runs once, on survivors only.",
+    "wire frame (anchored rlike for a TERMINATED NUMERIC 's=' entry, "
+    "matching packet_entries' terminated-entries contract and the "
+    "downstream long cast) rather than the parsed map: a filter on "
+    "the parsed-then-cast column gets pushed through the projection "
+    "by Catalyst and re-evaluates the ENTIRE kv-parse per row "
+    "(measured 2x at sf0.1); the wire-level predicate is cheap and "
+    "the parse then runs once, on survivors only.",
 )
 def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _payload(load_table(spark, sf_dir, "events"))
     m = packet_map(F.col("payload"))
-    return ev.filter(F.col("payload").rlike("(^|\n)s=")).select(
+    # `s=[0-9]+\n`, not `s=`: an UNTERMINATED trailing `s=...` segment
+    # is dropped by packet_entries (terminated-entries contract) and a
+    # non-numeric s would surface as s=NULL rather than be filtered —
+    # the loose prefix test only coincided with parse-then-filter on
+    # payloads that are always newline-terminated with numeric s
+    return ev.filter(F.col("payload").rlike("(^|\n)s=[0-9]+\n")).select(
         "event_id", packet_get(m, "s").cast("long").alias("s")
     )
 

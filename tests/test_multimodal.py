@@ -60,10 +60,52 @@ def test_sample_frames_one_to_n(media):
 
 
 def test_pixel_decode_gated(media):
+    """Both directions of the optional-PIL gate: without PIL (and no
+    injected decoder) the operator raises with wiring instructions;
+    with PIL importable it must return a real plan (not raise)."""
     from etl_work_flow_for_big_data_spark.multimodal.columns import decode_pixels
 
-    with pytest.raises(NotImplementedError, match="decoder"):
-        decode_pixels(media)
+    try:
+        import PIL.Image  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # corpus bytes aren't valid images → all-null rows, no failure
+        rows = decode_pixels(media).collect()
+        assert len(rows) == media.count()
+    else:
+        with pytest.raises(NotImplementedError, match="decoder"):
+            decode_pixels(media)
+
+
+def test_pixel_decode_injected_decoder(media):
+    """The injected-decoder seam exercises the REAL Spark plumbing
+    (schema, Arrow batches, per-record failure isolation) without an
+    imaging dependency: a decoder that understands even-length payloads
+    and rejects the rest must yield decoded rows for the former and
+    all-null rows — not task failures — for the latter."""
+    from etl_work_flow_for_big_data_spark.multimodal.columns import decode_pixels
+
+    def fake(b: bytes):
+        if len(b) % 2:
+            raise ValueError("odd payload")
+        return (len(b), 2, "L", bytes(reversed(b)))
+
+    rows = {r["id"]: r for r in decode_pixels(media, decoder=fake).collect()}
+    assert len(rows) == media.count()
+    src = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    for i, b in src.items():
+        if len(b) % 2 == 0:
+            assert (rows[i]["width"], rows[i]["height"], rows[i]["mode"]) == (
+                len(b),
+                2,
+                "L",
+            )
+            assert bytes(rows[i]["pixels"]) == bytes(reversed(b))
+        else:
+            assert rows[i]["width"] is None and rows[i]["pixels"] is None
 
 
 def _png(w: int, h: int) -> bytes:
@@ -123,6 +165,9 @@ def test_decode_media_parses_headers(spark):
         (9, b"GIF89a\x01"),
         (10, b"BM\x00"),
         (11, b"\xff\xd8\xff"),  # JPEG SOI, SOF missing
+        # JPEG with 0xFF fill bytes padding between segments (legal per
+        # spec): the walk must skip fills, not read a garbage length
+        (12, b"\xff\xd8" + b"\xff\xff\xff" + _jpeg(99, 77)[2:]),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, content binary")
     rows = {r["id"]: r for r in decode_media(df, "doc_id").collect()}
@@ -148,6 +193,11 @@ def test_decode_media_parses_headers(spark):
             None,
             None,
         ), fmt
+    assert (rows[12]["format"], rows[12]["width"], rows[12]["height"]) == (
+        "jpeg",
+        99,
+        77,
+    )
 
 
 def test_metadata_scan_prunes_payload(media, tmp_path):
