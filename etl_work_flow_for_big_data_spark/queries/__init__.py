@@ -86,6 +86,7 @@ _CHECK_PRIORITY = [
     "llm_clean_corpus",
     "dedup_components",
     "filter_required",
+    "project_rename",
     "mm_decode",
     # -- last hard check is round 3 (r4 spent its 50 slots on the
     #    then-stale r2 set)

@@ -173,18 +173,20 @@ def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_id
     """,
     doc="B4 key projection/rewrite: copy map, normalize 's' "
-    "(parse-int → restringify), extract 'f' (MFramework.cpp:1264-1273)",
+    "(parse-int → restringify), extract 'f' (MFramework.cpp:1264-1273). "
+    "The keep-rows-with-parseable-s filter runs on the wire frame "
+    "(same terminated-numeric-entry predicate as filter_required): "
+    "filtering on the parsed-then-cast column makes Catalyst re-parse "
+    "the whole payload per input row in the pushed filter — measured "
+    "1.6x at sf0.1.",
 )
 def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _payload(load_table(spark, sf_dir, "events"))
     m = packet_map(F.col("payload"))
-    return (
-        ev.select(
-            "event_id",
-            packet_get(m, "s").cast("long").cast("string").alias("s_norm"),
-            packet_get(m, "f").alias("fname"),
-        )
-        .filter(F.col("s_norm").isNotNull())
+    return ev.filter(F.col("payload").rlike("(^|\n)s=[0-9]+\n")).select(
+        "event_id",
+        packet_get(m, "s").cast("long").cast("string").alias("s_norm"),
+        packet_get(m, "f").alias("fname"),
     )
 
 

@@ -19,6 +19,7 @@ MUST_CHECK_R5 = [
     "llm_clean_corpus",
     "dedup_components",
     "filter_required",
+    "project_rename",
     "mm_decode",
     "rate_charge",
     "join_broadcast",
