@@ -72,9 +72,20 @@ def main() -> None:
             for _ in range(2):
                 try:
                     runs.append(_run_once(spec))
-                except Exception:  # noqa: BLE001 — keep what we have
+                except Exception as exc:  # noqa: BLE001 — flaky re-run
+                    # the first run DID succeed — keep its timing, but
+                    # a query that fails on repeat is a flake worth
+                    # surfacing, not silently averaging away
+                    errors[name] = f"rerun: {type(exc).__name__}: {exc}"[:500]
                     break
-            timings[name] = med3[name] = round(sorted(runs)[len(runs) // 2], 3)
+            # LOWER median ((n-1)//2): exact median for 3 runs; for 2
+            # runs (re-run failed once) the smaller value — sf0.1 noise
+            # is one-sided upward (GC/page-cache stalls), so the lower
+            # shot is the steady-state estimate, and upper-median would
+            # report the worst observed shot as "the" time
+            timings[name] = med3[name] = round(
+                sorted(runs)[(len(runs) - 1) // 2], 3
+            )
         else:
             timings[name] = round(first, 3)
 
@@ -93,8 +104,9 @@ def main() -> None:
     print(json.dumps(out))
     # Non-zero exit only when the run is substantially broken (<90%
     # timed); a stray failure still yields a usable bench record.
-    total = len(timings) + len(errors)
-    if total and len(timings) / total < 0.9:
+    # set-union, not sum: a flaky-rerun query appears in BOTH maps
+    attempted = set(timings) | set(errors)
+    if attempted and len(timings) / len(attempted) < 0.9:
         sys.exit(1)
 
 

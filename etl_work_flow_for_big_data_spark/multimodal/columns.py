@@ -161,12 +161,13 @@ PIXELS_SCHEMA = "id long, width int, height int, mode string, pixels binary"
 
 def decode_pixels(
     df: DataFrame,
-    id_col: str = "doc_id",
     content_col: str = "content",
+    id_col: str = "doc_id",
     decoder=None,
 ) -> DataFrame:
     """Full pixel decode through the standard Arrow ``mapInPandas``
     shape (same plumbing as ``decode_media``/``extract_features``).
+    ``content_col`` keeps its historical second-positional slot.
 
     Decoder resolution, honest at every step:
 
@@ -179,9 +180,12 @@ def decode_pixels(
     - neither — ``NotImplementedError`` with wiring instructions.
       Gate, don't fake: no synthetic pixels from this function, ever.
 
-    Per-record failures (corrupt/unknown/null payloads) yield all-null
-    rows, never task failures — at 100 TB a corrupt record must not
-    kill the job (same contract as ``decode_media``).
+    Per-record DECODE failures (corrupt/unknown/null payloads) yield
+    all-null rows, never task failures — at 100 TB a corrupt record
+    must not kill the job (same contract as ``decode_media``). An
+    ``ImportError`` inside the kernel is NOT a record failure and is
+    re-raised: an executor without PIL must fail the task loudly, not
+    silently null out its whole partition.
     """
     if decoder is None:
         try:
@@ -219,6 +223,10 @@ def decode_pixels(
                 try:
                     w, h, mode, pix = decoder(bytes(b))  # raises on None
                     ws.append(w), hs.append(h), modes.append(mode), px.append(pix)
+                except ImportError:
+                    # systemic, not per-record: executor lacks the
+                    # imaging library — fail the task, don't null data
+                    raise
                 except Exception:  # corrupt/unknown/null → null row
                     ws.append(None), hs.append(None)
                     modes.append(None), px.append(None)

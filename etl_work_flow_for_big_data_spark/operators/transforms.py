@@ -383,15 +383,19 @@ def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate rule names: {sorted(names)}")
     # coalesce: F.sum over an EMPTY frame is NULL, and empty batches
-    # are a normal pipeline condition — report 0 violations, not crash
+    # are a normal pipeline condition — report 0 violations, not crash.
+    # Aggregates are aliased positionally (__rule_i), NOT by the
+    # user-supplied rule name: a name with dots/backticks would
+    # misparse in the column references below; the real name appears
+    # only as a string literal in the output.
     aggs = [
         F.coalesce(
             F.sum(F.when(~F.coalesce(F.expr(pred), F.lit(False)), 1).otherwise(0)),
             F.lit(0),
         )
         .cast("bigint")
-        .alias(name)
-        for name, pred in rules
+        .alias(f"__rule_{i}")
+        for i, (_, pred) in enumerate(rules)
     ]
     one = df.agg(*aggs)
     unpivot = F.explode(
@@ -399,9 +403,9 @@ def dq_validate(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
             *[
                 F.struct(
                     F.lit(name).alias("rule"),
-                    F.col(name).alias("n_violations"),
+                    F.col(f"__rule_{i}").alias("n_violations"),
                 )
-                for name in names
+                for i, name in enumerate(names)
             ]
         )
     ).alias("r")

@@ -75,6 +75,9 @@ def test_pixel_decode_gated(media):
         # corpus bytes aren't valid images → all-null rows, no failure
         rows = decode_pixels(media).collect()
         assert len(rows) == media.count()
+        for r in rows:
+            assert r["width"] is None and r["height"] is None
+            assert r["mode"] is None and r["pixels"] is None
     else:
         with pytest.raises(NotImplementedError, match="decoder"):
             decode_pixels(media)

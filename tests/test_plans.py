@@ -170,6 +170,13 @@ def test_dq_validate_and_profile_edges(spark):
         ).collect()
     }
     assert got == {"id_present": 1, "v_present": 1}
+    # rule names are labels, not identifiers: dots/backticks must pass
+    # through verbatim (aggregates are aliased positionally)
+    dotted = {
+        r["rule"]: r["n_violations"]
+        for r in dq_validate(df, [("props.id_valid", "id IS NOT NULL")]).collect()
+    }
+    assert dotted == {"props.id_valid": 1}
     with pytest.raises(ValueError, match="at least one"):
         dq_validate(df, [])
     with pytest.raises(ValueError, match="duplicate"):
