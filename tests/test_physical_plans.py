@@ -400,3 +400,45 @@ def test_dq_validate_lazy_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
     assert "Generate explode" in plan, plan
     assert out.count() == 1
+
+
+def test_distributed_ntile_property_random_inputs(spark):
+    """Property sweep: distributed_ntile must be bit-equal to
+    NTILE(k) OVER (ORDER BY v, id) for ANY key distribution — heavy
+    ties, skewed clusters, negatives, uneven N%k remainders — across
+    every (n_parts, k) shape, including n_parts > distinct keys.
+    (Deterministic seeded cases rather than hypothesis: each case
+    costs two Spark jobs, so a bounded sweep keeps suite time sane.)"""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    rng = random.Random(20260813)
+    cases = [
+        # (n_rows, key_gen, n_buckets, n_parts)
+        (97, lambda: float(rng.randint(0, 3)), 4, 8),      # heavy ties
+        (200, lambda: rng.gauss(0.0, 1.0), 7, 5),          # continuous
+        (50, lambda: float(rng.choice([-5, 0, 1000])), 3, 16),  # skew+neg
+        (64, lambda: 42.0, 5, 4),                          # constant key
+        (23, lambda: float(rng.randint(-10, 10)), 23, 32), # k == N
+    ]
+    for n_rows, gen, k, n_parts in cases:
+        rows = [(i, gen()) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        want = {
+            (r.id, r.q)
+            for r in df.select(
+                "id", F.ntile(k).over(W.orderBy("v", "id")).alias("q")
+            ).collect()
+        }
+        got = {
+            (r.id, r.q)
+            for r in distributed_ntile(
+                df, [F.col("v"), F.col("id")], k, out_col="q", n_parts=n_parts
+            ).collect()
+        }
+        assert got == want, f"case n={n_rows} k={k} parts={n_parts}"
