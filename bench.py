@@ -49,6 +49,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     med3: dict[str, float] = {}
     errors: dict[str, str] = {}
+    rerun_errors: dict[str, str] = {}
 
     def _run_once(spec) -> float:
         t0 = time.perf_counter()
@@ -75,8 +76,10 @@ def main() -> None:
                 except Exception as exc:  # noqa: BLE001 — flaky re-run
                     # the first run DID succeed — keep its timing, but
                     # a query that fails on repeat is a flake worth
-                    # surfacing, not silently averaging away
-                    errors[name] = f"rerun: {type(exc).__name__}: {exc}"[:500]
+                    # surfacing, not silently averaging away. Kept out
+                    # of "errors": membership there means "no timing",
+                    # and a flaky-but-timed query is not that.
+                    rerun_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                     break
             # LOWER median ((n-1)//2): exact median for 3 runs; for 2
             # runs (re-run failed once) the smaller value — sf0.1 noise
@@ -101,10 +104,11 @@ def main() -> None:
         out["med3"] = med3
     if errors:
         out["errors"] = errors
+    if rerun_errors:
+        out["rerun_errors"] = rerun_errors
     print(json.dumps(out))
     # Non-zero exit only when the run is substantially broken (<90%
     # timed); a stray failure still yields a usable bench record.
-    # set-union, not sum: a flaky-rerun query appears in BOTH maps
     attempted = set(timings) | set(errors)
     if attempted and len(timings) / len(attempted) < 0.9:
         sys.exit(1)

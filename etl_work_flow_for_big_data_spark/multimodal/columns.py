@@ -182,10 +182,11 @@ def decode_pixels(
 
     Per-record DECODE failures (corrupt/unknown/null payloads) yield
     all-null rows, never task failures — at 100 TB a corrupt record
-    must not kill the job (same contract as ``decode_media``). An
-    ``ImportError`` inside the kernel is NOT a record failure and is
-    re-raised: an executor without PIL must fail the task loudly, not
-    silently null out its whole partition.
+    must not kill the job (same contract as ``decode_media``).
+    ``ImportError`` and ``MemoryError`` inside the kernel are NOT
+    record failures and are re-raised: an executor without PIL, or one
+    whose memory a payload exhausts mid-decode, must fail the task
+    loudly, not silently null out its whole partition.
     """
     if decoder is None:
         try:
@@ -223,9 +224,10 @@ def decode_pixels(
                 try:
                     w, h, mode, pix = decoder(bytes(b))  # raises on None
                     ws.append(w), hs.append(h), modes.append(mode), px.append(pix)
-                except ImportError:
+                except (ImportError, MemoryError):
                     # systemic, not per-record: executor lacks the
-                    # imaging library — fail the task, don't null data
+                    # imaging library, or the payload OOMed the decode
+                    # — fail the task, don't silently null data
                     raise
                 except Exception:  # corrupt/unknown/null → null row
                     ws.append(None), hs.append(None)

@@ -6,8 +6,11 @@ schema and an order-insensitive value hash — so every computed column
 is aliased identically on both sides, floats are rounded identically,
 and rankings use rounded keys + deterministic tie-breaks.
 
-Queries with no SQL-expressible oracle (LSH bucketing, HLL internals)
-register ``oracle=None`` → the driver records a rows-only check.
+Every registered query carries a DuckDB oracle — none opts out. The
+``oracle=None`` escape hatch (driver falls back to a rows-only check)
+exists in the type but is deliberately unused: even the approximate
+operators (LSH, HLL, IVF) are pinned by oracles over their exact
+verification step or a seeded re-derivation.
 
 Ordering contract: queries return UNORDERED results (the relational
 set contract). Both the driver's value hash and the local parity
@@ -66,59 +69,59 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Round-5 rotation
-# (VERDICT r4 "Next round" #3): queries whose implementation changed
+# which queries receive a hard oracle check. Round-6 rotation
+# (VERDICT r5 "Next round" #1): queries whose implementation changed
 # this round lead (they need a fresh hash check), then the 34 queries
-# whose last hard check is round 3 (text/dedup/sim/streaming-window
+# whose last hard check is round 4 (join/agg/window/relational
 # families), so no query's latest check is ever older than two rounds.
-# Names absent from this list (the r4-green, untouched set) keep
+# Names absent from this list (the r5-green, untouched set) keep
 # registration order at the back; NEW/CHANGED queries must be added to
 # the front to receive a slot.
 _CHECK_PRIORITY = [
-    # -- implementation touched in round 5 (dq_validate went lazy;
-    #    window_ntile auto now always split_points on numeric keys;
-    #    the dedup family's bounded-Jaccard docstring change is
-    #    code-neutral but they also sit in the stale-r3 set)
-    "dq_validate",
-    "window_ntile",
-    "dedup_ngram",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "dedup_components",
+    # -- implementation touched in round 6 (wire predicate grew an
+    #    optional sign; cosine_pairs went executor-side; connected
+    #    components got the two-phase default; NTILE stats fused)
     "filter_required",
     "project_rename",
-    "mm_decode",
-    # -- last hard check is round 3 (r4 spent its 50 slots on the
-    #    then-stale r2 set)
-    "rate_charge",
-    "join_broadcast",
-    "join_salted",
-    "agg_grouping_sets",
-    "sim_topk",
     "sim_pairs",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_ann_multiprobe",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_regex",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "text_chunk",
-    "text_scrub",
-    "split_assign",
-    "pack_sequences",
-    "text_editdist",
-    "decontaminate",
-    "mix_weighted",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "route_assign",
-    "ts_gapfill",
+    "dedup_components",
+    "window_ntile",
+    # -- last hard check is round 4 (r5 spent its 50 slots on the
+    #    then-stale r3 set plus its own perf-touched queries)
+    "join_anti",
+    "join_asof",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "join_star",
+    "merge_upsert",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_conditional",
+    "agg_cube",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_stats",
+    "null_handling",
+    "profile_columns",
+    "set_union",
+    "sort_multi",
+    "subquery_exists",
+    "subquery_scalar",
+    "topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "window_analytic",
+    "window_range_frame",
+    "window_rank",
 ]
 
 

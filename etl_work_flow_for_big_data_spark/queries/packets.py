@@ -151,12 +151,14 @@ def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _payload(load_table(spark, sf_dir, "events"))
     m = packet_map(F.col("payload"))
-    # `s=[0-9]+\n`, not `s=`: an UNTERMINATED trailing `s=...` segment
+    # `s=-?[0-9]+\n`, not `s=`: an UNTERMINATED trailing `s=...` segment
     # is dropped by packet_entries (terminated-entries contract) and a
     # non-numeric s would surface as s=NULL rather than be filtered —
     # the loose prefix test only coincided with parse-then-filter on
-    # payloads that are always newline-terminated with numeric s
-    return ev.filter(F.col("payload").rlike("(^|\n)s=[0-9]+\n")).select(
+    # payloads that are always newline-terminated with numeric s. The
+    # optional sign keeps the wire predicate aligned with the long cast
+    # (CAST('-3' AS LONG) succeeds) should fixtures grow negative ids.
+    return ev.filter(F.col("payload").rlike("(^|\n)s=-?[0-9]+\n")).select(
         "event_id", packet_get(m, "s").cast("long").alias("s")
     )
 
@@ -183,7 +185,7 @@ def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
 def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _payload(load_table(spark, sf_dir, "events"))
     m = packet_map(F.col("payload"))
-    return ev.filter(F.col("payload").rlike("(^|\n)s=[0-9]+\n")).select(
+    return ev.filter(F.col("payload").rlike("(^|\n)s=-?[0-9]+\n")).select(
         "event_id",
         packet_get(m, "s").cast("long").cast("string").alias("s_norm"),
         packet_get(m, "f").alias("fname"),

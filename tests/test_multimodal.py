@@ -111,6 +111,19 @@ def test_pixel_decode_injected_decoder(media):
             assert rows[i]["width"] is None and rows[i]["pixels"] is None
 
 
+def test_pixel_decode_memoryerror_is_loud(media):
+    """MemoryError is systemic, not per-record: a decoder that exhausts
+    executor memory must fail the task, not quietly emit a null row the
+    way a corrupt payload does."""
+    from etl_work_flow_for_big_data_spark.multimodal.columns import decode_pixels
+
+    def oom(b: bytes):
+        raise MemoryError("simulated allocator failure")
+
+    with pytest.raises(Exception, match="MemoryError|simulated allocator"):
+        decode_pixels(media, decoder=oom).collect()
+
+
 def _png(w: int, h: int) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"

@@ -9,54 +9,55 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Round-5 must-check set: the queries whose implementation changed this
-# round plus the 34 whose last hard check is round 3.
-MUST_CHECK_R5 = [
-    "dq_validate",
-    "window_ntile",
-    "dedup_ngram",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "dedup_components",
+# Round-6 must-check set: the queries whose implementation changed this
+# round plus the 34 whose last hard check is round 4.
+MUST_CHECK_R6 = [
     "filter_required",
     "project_rename",
-    "mm_decode",
-    "rate_charge",
-    "join_broadcast",
-    "join_salted",
-    "agg_grouping_sets",
-    "sim_topk",
     "sim_pairs",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_ann_multiprobe",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_regex",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "text_chunk",
-    "text_scrub",
-    "split_assign",
-    "pack_sequences",
-    "text_editdist",
-    "decontaminate",
-    "mix_weighted",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "route_assign",
-    "ts_gapfill",
+    "dedup_components",
+    "window_ntile",
+    "join_anti",
+    "join_asof",
+    "join_left",
+    "join_range",
+    "join_semi",
+    "join_star",
+    "merge_upsert",
+    "agg_groupby",
+    "agg_distinct",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_conditional",
+    "agg_cube",
+    "agg_rollup",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_stats",
+    "null_handling",
+    "profile_columns",
+    "set_union",
+    "sort_multi",
+    "subquery_exists",
+    "subquery_scalar",
+    "topk",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "window_analytic",
+    "window_range_frame",
+    "window_rank",
 ]
 
 
 def test_stale_and_changed_queries_lead_the_registry():
     names = list(load_all())
     first_50 = set(names[:50])
-    missing = [n for n in MUST_CHECK_R5 if n not in first_50]
+    missing = [n for n in MUST_CHECK_R6 if n not in first_50]
     assert not missing, f"queries outside the driver's 50-slot window: {missing}"
 
 
