@@ -8,10 +8,10 @@ Scale design:
   candidate table — a BroadcastNestedLoopJoin where the streamed side
   is the big table, scanned once, no shuffle of candidates. Linear in
   candidates × queries; right whenever |queries| is dim-table-sized.
-- **cosine_pairs**: O(n²) all-pairs — the exact baseline. Driver
-  memory is bounded via corpus blocking (collect one hash block at a
-  time, stream the table against each); switch to LSH when the n²
-  compute itself is the problem.
+- **cosine_pairs**: O(n²) all-pairs — the exact baseline. Fully
+  executor-side: a hash-block grid cogroup pairs bounded blocks on
+  executors (no vector ever transits the driver); switch to LSH when
+  the n² compute itself is the problem.
 - **ann_lsh_topk**: hyperplane-LSH bucket equi-join; each query only
   scores candidates in its bucket. Shuffle O(n), score O(n²/2^planes)
   in expectation. Recall tunable via n_planes / multi-probe.
@@ -76,38 +76,56 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact O(n²) baseline).
 
-    Driver memory is bounded at ``block_size`` vectors REGARDLESS of
-    corpus size: the corpus is split into hash blocks
-    (``pmod(xxhash64(id), n_blocks)`` — hash-based so ids of ANY type
-    partition correctly; a numeric pmod on a string id would silently
-    collect empty blocks); each block in turn is collected as the
-    kernel's broadcast matrix (~block_size × dim × 8 B, ≈32 MiB at the
-    default for 64-dim), the full table streams through the Arrow
-    kernel against it, and the block's scored rows are eagerly
-    ``localCheckpoint``-ed — truncating lineage so the block matrix in
-    the kernel closure is released before the next block is collected.
-    An unordered pair {x, y}, x < y, is produced exactly once: in the
-    block that owns y (the kernel keeps stream_id < corpus_id).
+    Fully executor-side block grid — NO vector ever transits the
+    driver. The corpus is hash-partitioned into ``n_blocks ≈
+    n/block_size`` blocks (``pmod(xxhash64(id), n_blocks)`` — hash-
+    based so ids of any integral value, negatives included, partition
+    correctly). Two shuffled copies meet in a cogroup keyed on
+    ``(blk, sub)``:
 
-    Compute stays O(n²·dim) split over n/block_size passes — that is
-    the exact-baseline contract; ann_lsh_topk / minhash candidates are
-    the scale path when n² itself is the problem. A conservative
-    raw-cosine prefilter inside the kernel keeps the Arrow transfer at
-    result size instead of n² size; the exact rounded filter is
-    applied Spark-side.
+    - the **y side** carries each row once per ``sub`` slice under its
+      OWNER block (replication factor ``n_splits``);
+    - the **x side** carries each row once per block (replication
+      factor ``n_blocks``) in the one ``sub`` slice its id hashes to.
+
+    Every cogroup group therefore holds one x-slice (≤ ~block_size
+    rows) against one full y-block (≤ ~block_size rows); the Arrow
+    kernel fold-dots them in bounded chunks (cos matrix capped ≈32 MiB)
+    keeping ``x_id < y_id``, so an unordered pair {x, y} is produced
+    exactly once — in the block that owns y, same contract as ever.
+    Total shuffle is the textbook blocked-all-pairs O(n²/block_size)
+    rows, spread over ``n_blocks × n_splits`` tasks; nothing gathers at
+    the driver and no single task sees more than two blocks.
+
+    ``n_splits = max(n_blocks, shuffle_partitions / n_blocks)``: at
+    scale it equals ``n_blocks`` (square grid, every group two blocks);
+    on small corpora it rises to the shuffle width so the n² compute
+    still parallelizes instead of collapsing into one task.
+
+    Compute stays O(n²·dim) — that is the exact-baseline contract;
+    ann_lsh_topk / minhash candidates are the scale path when n² itself
+    is the problem. A conservative raw-cosine prefilter inside the
+    kernel keeps the Arrow transfer at result size instead of n² size;
+    the exact rounded filter is applied Spark-side.
 
     ``n_hint``: caller-supplied (approximate) corpus size used only to
-    pick the block count — passing it skips the sizing ``count()``
-    scan. An underestimate still bounds driver memory per collect at
-    roughly the true n / n_blocks; correctness never depends on it.
+    size the grid — passing it skips the sizing ``count()`` scan. An
+    underestimate still bounds per-task memory at roughly the true
+    n / n_blocks; correctness never depends on it.
 
-    Ids must be integral: the Arrow kernel compares int64 ids for the
+    Ids must be integral: the kernel compares int64 ids for the
     pair-once property. Validated up front — a non-integral id column
     raises here instead of failing inside a task (or, worse, a numeric
     pmod silently collecting empty blocks, ADVICE r2)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+    from etl_work_flow_for_big_data_spark.functions.kernels import (
+        _as_matrix,
+        _fold_dot,
+        _fold_norm_sq,
+    )
 
     id_type = df.schema[id_col].dataType
     if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
@@ -118,25 +136,73 @@ def cosine_pairs(
         )
     n = n_hint if n_hint is not None else df.count()
     n_blocks = max(1, -(-n // block_size))
-    parts = []
-    for b in range(n_blocks):
-        blk = (
-            df
-            if n_blocks == 1
-            else df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)) == b)
+    try:
+        shuffle_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" under AQE-advisory setups
+        shuffle_parts = 200
+    n_splits = max(n_blocks, -(-shuffle_parts // n_blocks))
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("pid"), F.col(vec_col).alias("pv")
+    )
+    y = src.select(
+        F.pmod(F.xxhash64("pid"), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.explode(F.array(*[F.lit(s) for s in range(n_splits)])).alias("sub"),
+        "pid",
+        "pv",
+    )
+    # a distinct second hash input decorrelates the x slice from the y
+    # block so a hash-skewed id set cannot align both grid dimensions
+    x = src.select(
+        F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])).alias("blk"),
+        F.pmod(F.xxhash64("pid", F.lit(0x5EED)), F.lit(n_splits))
+        .cast("int")
+        .alias("sub"),
+        "pid",
+        "pv",
+    )
+    prefilter = threshold - 1e-6
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
         )
-        corpus = [(r[0], list(r[1])) for r in blk.select(id_col, vec_col).collect()]
-        scored = pairwise_cosine(
-            df, id_col, vec_col, corpus, mode="pairs", prefilter=threshold - 1e-6
-        )
-        if n_blocks > 1:
-            # eager materialization per block: the next collect() only
-            # happens after this block's matrix is out of the plan
-            scored = scored.localCheckpoint(eager=True)
-        parts.append(scored)
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionAll(p)
+        if len(left) == 0 or len(right) == 0:
+            return out_empty
+        B = _as_matrix(right["pv"])
+        ids_b = right["pid"].to_numpy(dtype=np.int64)
+        norms_b = _fold_norm_sq(B)
+        # chunk the x slice so the cos matrix stays ~32 MiB no matter
+        # how the grid was sized (4M cells × 8 B)
+        chunk = max(1, (1 << 22) // len(right))
+        outs = []
+        for lo in range(0, len(left), chunk):
+            sl = left.iloc[lo : lo + chunk]
+            A = _as_matrix(sl["pv"])
+            ids_a = sl["pid"].to_numpy(dtype=np.int64)
+            cos = _fold_dot(A, B) / np.sqrt(
+                _fold_norm_sq(A)[:, None] * norms_b[None, :]
+            )
+            keep = ids_a[:, None] < ids_b[None, :]
+            # zero-norm vectors never pair (NaN cosine) — same explicit
+            # rule as functions/kernels.pairwise_cosine
+            keep &= ~np.isnan(cos)
+            keep &= cos >= prefilter
+            r, c = np.nonzero(keep)
+            outs.append(
+                pd.DataFrame({"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]})
+            )
+        return pd.concat(outs, ignore_index=True) if outs else out_empty
+
+    scored = (
+        x.groupBy("blk", "sub")
+        .cogroup(y.groupBy("blk", "sub"))
+        .applyInPandas(score, schema="d1 long, d2 long, cos_raw double")
+    )
     return (
         scored.withColumn("cos_sim", F.round("cos_raw", 6))
         .filter(F.col("cos_sim") >= threshold)

@@ -1,6 +1,6 @@
-"""Similarity-operator unit tests (I3): corpus blocking in
-cosine_pairs (driver memory independence from corpus size) and NaN
-(zero-norm vector) semantics parity with the engines."""
+"""Similarity-operator unit tests (I3): executor-side block-grid
+pairing in cosine_pairs (pair-once across any grid shape, no driver
+relay) and NaN (zero-norm vector) semantics parity with the engines."""
 
 from __future__ import annotations
 
@@ -23,10 +23,10 @@ def vecs(spark):
 
 
 def test_blocked_equals_single_pass(vecs):
-    """Splitting the corpus into many blocks (block_size=3 → 7 blocks)
-    must produce the identical pair set as the single-collect path —
-    each unordered pair emitted exactly once, in the block owning its
-    larger id."""
+    """Splitting the corpus into many blocks (block_size=3 → 7 blocks,
+    a 7×7 grid) must produce the identical pair set as the one-block
+    grid — each unordered pair emitted exactly once, in the block
+    owning its larger id."""
     full = sorted(
         (r["d1"], r["d2"], r["cos_sim"])
         for r in cosine_pairs(vecs, "vec_id", "embedding", 0.8).collect()
