@@ -413,12 +413,14 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY a
     """,
     doc="I2 transitive near-dup clusters: connected components over "
-    "n-gram Jaccard pairs via iterative min-label propagation "
-    "(O(diameter) rounds of equi-joins; eager checkpoints keep the "
-    "plan O(1) per round). The oracle computes the exact transitive "
-    "closure with a recursive CTE — so even the iterative algorithm "
-    "is hash-checked, not rows-only. The closure is O(cluster²) and "
-    "fine at oracle scale; the engine side stays O(diameter x edges).",
+    "n-gram Jaccard pairs via large-star/small-star alternation "
+    "(Kiveris et al. — O(log n) rounds regardless of cluster shape; "
+    "eager checkpoints keep the plan O(1) per round; min-label "
+    "propagation retained as the property-tested reference). The "
+    "oracle computes the exact transitive closure with a recursive "
+    "CTE — so even the iterative algorithm is hash-checked, not "
+    "rows-only. The closure is O(cluster²) and fine at oracle scale; "
+    "the engine side stays O(rounds x edges).",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import connected_components

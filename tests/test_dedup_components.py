@@ -34,16 +34,80 @@ def test_star_and_cycle(spark):
 
 
 def test_long_chain_needs_iterations(spark):
-    # label of the far end must propagate the full diameter
+    # label of the far end must propagate the full diameter (reference
+    # algorithm); the two-phase default gets there in O(log n) rounds
     edges = [(i, i + 1) for i in range(0, 12)]
-    got = _cc(spark, edges, max_iters=15)
+    got = _cc(spark, edges, max_iters=15, algorithm="label")
     assert set(got.values()) == {0}
+    assert _cc(spark, edges) == got  # star default, default max_iters
 
 
 def test_nonconvergence_raises(spark):
+    # min-label propagation needs diameter rounds, so a 13-node chain
+    # cannot converge in 2 — the safety cap must raise, not mislabel
     edges = [(i, i + 1) for i in range(0, 12)]
     with pytest.raises(RuntimeError, match="converge"):
-        _cc(spark, edges, max_iters=2)
+        _cc(spark, edges, max_iters=2, algorithm="label")
+
+
+def test_star_nonconvergence_raises(spark):
+    # a chain is not a star forest, so with a zero-round budget the
+    # two-phase path must raise rather than return partial labels
+    with pytest.raises(RuntimeError, match="converge"):
+        _cc(spark, [(1, 2), (2, 3)], max_iters=0)
+
+
+def test_unknown_algorithm_rejected(spark):
+    with pytest.raises(ValueError, match="star|label"):
+        _cc(spark, [(1, 2)], algorithm="greedy")
+
+
+def _union_find_truth(edges):
+    nodes = {x for p in edges for x in p}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+try:
+    from hypothesis import HealthCheck, example, given, settings
+    from hypothesis import strategies as st
+
+    _EDGE_LISTS = st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda es: any(a != b for a, b in es))
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(edges=_EDGE_LISTS)
+    @example(edges=[(i, i + 1) for i in range(30)])  # deep chain: the
+    # shape that motivates the two-phase default — min-label needs 29
+    # rounds here, large-star/small-star a handful
+    def test_property_star_equals_label_equals_truth(spark, edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _union_find_truth(edges)
+        star = _cc(spark, edges)  # default max_iters: log-round budget
+        label = _cc(spark, edges, max_iters=40, algorithm="label")
+        assert star == truth
+        assert label == truth
+
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
 
 
 def test_against_fixture_pairs(spark, sf_dir):
