@@ -202,12 +202,25 @@ def test_max_df_drops_stop_shingles(spark):
 
 
 def test_window_ntile_no_single_partition_sort(spark, sf_dir):
-    """Global quantile binning must NOT plan a single-partition
-    window: distributed_ntile's window partitions by the frozen range
-    partition id, so no 'Exchange SinglePartition' may appear anywhere
-    in the executed plan."""
+    """Global quantile binning must NOT funnel DATA through a
+    single-partition window: distributed_ntile's ranking window
+    partitions by the frozen range partition id. The one permitted
+    SinglePartition exchange is the prefix-sum over the per-range
+    COUNTS aggregate (bounded at n_parts rows by construction — the
+    r6 fused-offsets broadcast subplan); it must sit directly above
+    that counts aggregate, and the ranking window's own exchange must
+    stay hash-partitioned."""
     plan = _plan(spark, sf_dir, "window_ntile")
-    assert "SinglePartition" not in plan, plan
+    segments = plan.split("Exchange SinglePartition")
+    assert len(segments) <= 2, f"multiple SinglePartition exchanges:\n{plan}"
+    if len(segments) == 2:
+        # the subtree below the exchange starts right after it; its
+        # first aggregate must be the per-range count — row-bounded
+        below = segments[1]
+        first_agg = below[below.index("HashAggregate") :].split("\n", 1)[0]
+        assert "__pid" in first_agg and "count" in first_agg, plan
+    # the data path: ranking window partitioned by range id, never 1
+    assert "hashpartitioning(__pid" in plan, plan
 
 
 def test_distributed_ntile_matches_global_ntile(spark):
