@@ -223,6 +223,17 @@ def test_window_ntile_no_single_partition_sort(spark, sf_dir):
     assert "hashpartitioning(__pid" in plan, plan
 
 
+def test_sim_pairs_plans_executor_side_grid(spark, sf_dir):
+    """The exact all-pairs baseline must stay executor-side: its plan
+    is two explode legs meeting in a FlatMapCoGroupsInPandas — exactly
+    one exchange per leg (hash on the grid key), and no broadcast of
+    vector data, which would mean a driver relay crept back in."""
+    plan = _plan(spark, sf_dir, "sim_pairs")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Broadcast" not in plan, plan
+
+
 def test_distributed_ntile_matches_global_ntile(spark):
     """Bit-equality pin: distributed_ntile reproduces NTILE(k) OVER
     (ORDER BY ...) exactly, including the uneven-bucket closed form
