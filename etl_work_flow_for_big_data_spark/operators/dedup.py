@@ -374,8 +374,8 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
     themselves.
     """
 
-    def _is_star_forest(edges: DataFrame) -> bool:
-        probe = (
+    def _node_profile(edges: DataFrame) -> DataFrame:
+        return (
             edges.select(
                 F.col("lo").alias("id"), F.lit(1).alias("l"), F.lit(0).alias("h")
             )
@@ -387,7 +387,9 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
                 F.sum("h").alias("nh"),
             )
         )
-        row = probe.agg(
+
+    def _is_star(profile: DataFrame) -> bool:
+        row = profile.agg(
             F.max((F.col("l") == 1) & (F.col("h") == 1)).alias("chain"),
             F.max(F.col("nh") > 1).alias("multi"),
         ).collect()[0]
@@ -402,13 +404,11 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col("lo").alias("id"))
-        .union(edges.select(F.col("hi").alias("id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    converged = _is_star_forest(edges)
+    # ONE pass builds both the node set (needed for root labels at the
+    # end) and the initial star probe — they share the groupBy(id)
+    profile = _node_profile(edges).localCheckpoint(eager=True)
+    nodes = profile.select("id")
+    converged = _is_star(profile)
     for _ in range(max_iters):
         if converged:
             break
@@ -437,7 +437,7 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = _is_star_forest(edges)
+        converged = _is_star(_node_profile(edges))
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
