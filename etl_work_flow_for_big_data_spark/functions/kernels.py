@@ -51,6 +51,40 @@ def _as_matrix(col: pd.Series) -> np.ndarray:
     return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
 
 
+def _score_block(
+    ids_a: np.ndarray,
+    A: np.ndarray,
+    ids_b: np.ndarray,
+    B: np.ndarray,
+    norms_b: np.ndarray,
+    mode: str,
+    prefilter: float | None,
+) -> pd.DataFrame:
+    """Score one (A-rows × B-rows) block: fold-order cosine, mode mask
+    (pairs: a<b / all: a≠b / full: everything), NaN exclusion,
+    optional raw prefilter. The ONE home of these rules — both the
+    broadcast-corpus kernel and the executor-side pair grid call it,
+    so the bit-exactness and zero-norm contracts cannot drift apart.
+    """
+    cos = _fold_dot(A, B) / np.sqrt(_fold_norm_sq(A)[:, None] * norms_b[None, :])
+    if mode == "pairs":
+        keep = ids_a[:, None] < ids_b[None, :]
+    elif mode == "all":
+        keep = ids_a[:, None] != ids_b[None, :]
+    else:  # full
+        keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+    # zero-norm vectors have undefined cosine (0/0 → NaN);
+    # they are EXCLUDED from pairing by contract, explicitly —
+    # Arrow would otherwise coerce the NaN to NULL on transfer
+    # (pandas NaN == missing), silently diverging from what the
+    # expression path produces. One rule, every path.
+    keep &= ~np.isnan(cos)
+    if prefilter is not None:
+        keep &= cos >= prefilter
+    r, c = np.nonzero(keep)
+    return pd.DataFrame({"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]})
+
+
 def pairwise_cosine(
     df: DataFrame,
     id_col: str,
@@ -89,25 +123,8 @@ def pairwise_cosine(
                 continue
             A = _as_matrix(pdf["v"])
             ids = pdf["d1"].to_numpy(dtype=np.int64)
-            dots = _fold_dot(A, corpus_mat)
-            cos = dots / np.sqrt(_fold_norm_sq(A)[:, None] * corpus_norms[None, :])
-            if mode == "pairs":
-                keep = ids[:, None] < corpus_ids[None, :]
-            elif mode == "all":
-                keep = ids[:, None] != corpus_ids[None, :]
-            else:  # full
-                keep = np.ones((len(ids), len(corpus_ids)), dtype=bool)
-            # zero-norm vectors have undefined cosine (0/0 → NaN);
-            # they are EXCLUDED from pairing by contract, explicitly —
-            # Arrow would otherwise coerce the NaN to NULL on transfer
-            # (pandas NaN == missing), silently diverging from what the
-            # expression path produces. One rule, every path.
-            keep &= ~np.isnan(cos)
-            if prefilter is not None:
-                keep &= cos >= prefilter
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"d1": ids[r], "d2": corpus_ids[c], "cos_raw": cos[r, c]}
+            yield _score_block(
+                ids, A, corpus_ids, corpus_mat, corpus_norms, mode, prefilter
             )
 
     return src.mapInPandas(compute, schema="d1 long, d2 long, cos_raw double")

@@ -25,7 +25,7 @@ nothing here does a cross join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.functions.text import (
@@ -260,11 +260,12 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 10, algorithm: str = "star"
+    pairs: DataFrame, max_iters: int | None = None, algorithm: str = "star"
 ) -> DataFrame:
     """Connected components over near-dup pairs. Returns
     (id, component) where component is the min id in the node's
-    component; exactly the nodes appearing in ``pairs`` are labeled.
+    component; exactly the nodes appearing in ``pairs`` are labeled
+    (a node seen only in a self-pair (x, x) labels itself).
 
     ``algorithm='star'`` (default) — alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -282,17 +283,25 @@ def connected_components(
     implementation the property tests compare the default against.
 
     Both converge within ``max_iters`` rounds or raise (safety cap —
-    silent truncation would mislabel components). Both checkpoint
-    eagerly per round so the plan stays O(1) per round.
+    silent truncation would mislabel components). The default budget
+    is per-algorithm (``None`` → 30 for star, 10 for label): measured
+    round counts for star grow ~logarithmically (a 10k-node chain
+    needs 14 rounds, a shuffled-id 100k chain 13), so 30 covers any
+    plausible component while convergence detection stops real
+    workloads after 1-3; label's 10 matches its shallow-dup-graph
+    contract, where callers facing deeper graphs size the cap to the
+    expected diameter. Both checkpoint eagerly per round so the plan
+    stays O(1) per round.
 
     This iterative operator can't be a single SQL statement, but the
     registered query is still hash-checked: the DuckDB oracle computes
     the exact transitive closure with a recursive CTE.
     """
     if algorithm == "star":
-        return _cc_two_phase(pairs, max_iters)
+        return _cc_two_phase(pairs, 30 if max_iters is None else max_iters)
     if algorithm != "label":
         raise ValueError(f"algorithm must be star|label, got {algorithm!r}")
+    max_iters = 10 if max_iters is None else max_iters
     n_parts = max(2, pairs.sparkSession.sparkContext.defaultParallelism // 8)
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
@@ -348,14 +357,20 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
     """Large-star/small-star alternation (see connected_components).
 
     Invariants each round keeps canonical: edges are (lo, hi) with
-    lo < hi, deduped, no self-loops. Large-star attaches every
-    strictly-larger neighbor of a center to the minimum of the center's
-    full neighborhood (min ≤ center < neighbor, so output stays
-    canonical); small-star attaches every smaller neighbor AND the
-    center itself to the minimum of the smaller neighborhood. Each
-    per-center min is a window aggregate (one exchange), not a
-    groupBy + self-join (A/B: the join form was ~1.6× slower per round
-    at sf0.1 with identical results).
+    lo < hi, deduped, no self-loops (a self-pair in the INPUT
+    contributes its node to the label set but no edge). Large-star
+    attaches every strictly-larger neighbor of a center to the minimum
+    of the center's full neighborhood (min ≤ center < neighbor, so
+    output stays canonical); small-star attaches every smaller
+    neighbor AND the center itself to the minimum of the smaller
+    neighborhood. Each per-center min is a groupBy + join — NOT a
+    window aggregate, although the window form measured ~1.6× faster
+    per round at sf0.1: this algorithm deliberately grows star
+    centers, so near the fixpoint a center's neighborhood IS its
+    component, and a window partition funnels that whole component
+    through one task's buffer (unsplittable by AQE), while the
+    groupBy gets map-side partial mins and the skewed join key is
+    exactly what AQE skew-join splits. Local loss, scale correctness.
 
     Convergence test: the edge set IS a star forest — no node occurs
     as both a lo and a hi (no chains) and no hi occurs twice (no node
@@ -374,12 +389,16 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
     themselves.
     """
 
-    def _node_profile(edges: DataFrame) -> DataFrame:
+    def _edge_profile(edges: DataFrame) -> DataFrame:
+        # flags over true edges only; self-rows (raw input) contribute
+        # their id with zeroed flags so self-pair-only nodes stay in
+        # the label set without registering as chain/multi evidence
+        is_edge = (F.col("lo") != F.col("hi")).cast("int")
         return (
             edges.select(
-                F.col("lo").alias("id"), F.lit(1).alias("l"), F.lit(0).alias("h")
+                F.col("lo").alias("id"), is_edge.alias("l"), F.lit(0).alias("h")
             )
-            .union(edges.select("hi", F.lit(0), F.lit(1)))
+            .union(edges.select("hi", F.lit(0), is_edge))
             .groupBy("id")
             .agg(
                 F.max("l").alias("l"),
@@ -396,17 +415,19 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
         # empty edge set: both aggregates are NULL — vacuously a forest
         return not row["chain"] and not row["multi"]
 
-    edges = (
+    # keep self-pairs through canonicalization (their nodes are part
+    # of the contract), strip them from the edge set after
+    raw = (
         pairs.select(
             F.least("d1", "d2").alias("lo"), F.greatest("d1", "d2").alias("hi")
         )
-        .filter(F.col("lo") != F.col("hi"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = raw.filter(F.col("lo") != F.col("hi"))
     # ONE pass builds both the node set (needed for root labels at the
     # end) and the initial star probe — they share the groupBy(id)
-    profile = _node_profile(edges).localCheckpoint(eager=True)
+    profile = _edge_profile(raw).localCheckpoint(eager=True)
     nodes = profile.select("id")
     converged = _is_star(profile)
     for _ in range(max_iters):
@@ -420,16 +441,16 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
         sym = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).union(
             edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
         )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mb"))
         ls = (
-            sym.withColumn("mb", F.min("b").over(Window.partitionBy("a")))
+            sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
-            .select(
-                F.least("a", "mb").alias("lo"), F.col("b").alias("hi")
-            )
+            .select(F.least("a", "mb").alias("lo"), F.col("b").alias("hi"))
         )
         # small-star: center = hi endpoint; m = min of its lo-neighbors
         # (all < center); lo-neighbors and the center attach to m
-        ssj = ls.withColumn("m", F.min("lo").over(Window.partitionBy("hi")))
+        mins2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        ssj = ls.join(mins2, "hi")
         edges = (
             ssj.select(F.col("m").alias("lo"), F.col("lo").alias("hi"))
             .union(ssj.select(F.col("m").alias("lo"), F.col("hi")))
@@ -437,7 +458,7 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        converged = _is_star(_node_profile(edges))
+        converged = _is_star(_edge_profile(edges))
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"

@@ -123,8 +123,8 @@ def cosine_pairs(
 
     from etl_work_flow_for_big_data_spark.functions.kernels import (
         _as_matrix,
-        _fold_dot,
         _fold_norm_sq,
+        _score_block,
     )
 
     id_type = df.schema[id_col].dataType
@@ -145,16 +145,20 @@ def cosine_pairs(
     src = df.select(
         F.col(id_col).cast("long").alias("pid"), F.col(vec_col).alias("pv")
     )
+    # replicate via explode(sequence(...)): a literal ARRAY of
+    # n_blocks/n_splits elements would put O(grid-width) Literal nodes
+    # into the plan (15k+ at the advertised scale — codegen fallback /
+    # driver plan blowup); sequence keeps the plan O(1)
     y = src.select(
         F.pmod(F.xxhash64("pid"), F.lit(n_blocks)).cast("int").alias("blk"),
-        F.explode(F.array(*[F.lit(s) for s in range(n_splits)])).alias("sub"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_splits - 1))).alias("sub"),
         "pid",
         "pv",
     )
     # a distinct second hash input decorrelates the x slice from the y
     # block so a hash-skewed id set cannot align both grid dimensions
     x = src.select(
-        F.explode(F.array(*[F.lit(b) for b in range(n_blocks)])).alias("blk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
         F.pmod(F.xxhash64("pid", F.lit(0x5EED)), F.lit(n_splits))
         .cast("int")
         .alias("sub"),
@@ -177,24 +181,17 @@ def cosine_pairs(
         ids_b = right["pid"].to_numpy(dtype=np.int64)
         norms_b = _fold_norm_sq(B)
         # chunk the x slice so the cos matrix stays ~32 MiB no matter
-        # how the grid was sized (4M cells × 8 B)
+        # how the grid was sized (4M cells × 8 B); scoring rules
+        # (fold order, pair-once mask, NaN exclusion, prefilter) live
+        # in the shared kernels._score_block
         chunk = max(1, (1 << 22) // len(right))
         outs = []
         for lo in range(0, len(left), chunk):
             sl = left.iloc[lo : lo + chunk]
             A = _as_matrix(sl["pv"])
             ids_a = sl["pid"].to_numpy(dtype=np.int64)
-            cos = _fold_dot(A, B) / np.sqrt(
-                _fold_norm_sq(A)[:, None] * norms_b[None, :]
-            )
-            keep = ids_a[:, None] < ids_b[None, :]
-            # zero-norm vectors never pair (NaN cosine) — same explicit
-            # rule as functions/kernels.pairwise_cosine
-            keep &= ~np.isnan(cos)
-            keep &= cos >= prefilter
-            r, c = np.nonzero(keep)
             outs.append(
-                pd.DataFrame({"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]})
+                _score_block(ids_a, A, ids_b, B, norms_b, "pairs", prefilter)
             )
         return pd.concat(outs, ignore_index=True) if outs else out_empty
 

@@ -231,6 +231,18 @@ def distributed_ntile(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if strategy not in ("auto", "checkpoint", "split_points"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    # the operator adds working columns under these names; an input
+    # that already carries one would silently corrupt ranks (or raise
+    # an ambiguous-reference error deep in the plan) — fail loudly at
+    # the boundary instead
+    clash = {"__pid", "__offset", "__total", "__rank0", "__k0", "__cnt"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"distributed_ntile reserves column name(s) {sorted(clash)}; "
+            "rename them on the input"
+        )
     from pyspark.sql import Window
     from pyspark.sql.types import NumericType
 

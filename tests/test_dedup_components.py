@@ -50,6 +50,27 @@ def test_nonconvergence_raises(spark):
         _cc(spark, edges, max_iters=2, algorithm="label")
 
 
+def test_self_pair_nodes_are_labeled(spark):
+    """Contract: exactly the nodes appearing in pairs are labeled — a
+    node seen only in a self-pair (x, x) maps to itself under BOTH
+    algorithms (the star path must not lose it to the self-loop
+    filter)."""
+    for algo in ("star", "label"):
+        got = _cc(spark, [(5, 5), (1, 2)], algorithm=algo)
+        assert got == {5: 5, 1: 1, 2: 1}, (algo, got)
+
+
+def test_default_budget_covers_deep_chains(spark):
+    """The star default exists for chain-shaped components; its default
+    round budget must actually cover one far beyond the toy sizes (a
+    1500-node chain needs ~12 large/small-star rounds — the old
+    max_iters=10 default raised here)."""
+    edges = [(i, i + 1) for i in range(1500)]
+    got = _cc(spark, edges)  # default budget, default algorithm
+    assert set(got.values()) == {0}
+    assert len(got) == 1501
+
+
 def test_star_nonconvergence_raises(spark):
     # a chain is not a star forest, so with a zero-round budget the
     # two-phase path must raise rather than return partial labels
@@ -63,6 +84,8 @@ def test_unknown_algorithm_rejected(spark):
 
 
 def _union_find_truth(edges):
+    """Ground truth: every node appearing in a pair (self-pairs
+    included) labeled with its component min."""
     nodes = {x for p in edges for x in p}
     parent = {n: n for n in nodes}
 
@@ -87,7 +110,7 @@ try:
         st.tuples(st.integers(0, 40), st.integers(0, 40)),
         min_size=1,
         max_size=60,
-    ).filter(lambda es: any(a != b for a, b in es))
+    )
 
     @settings(
         max_examples=6,
@@ -99,7 +122,7 @@ try:
     # shape that motivates the two-phase default — min-label needs 29
     # rounds here, large-star/small-star a handful
     def test_property_star_equals_label_equals_truth(spark, edges):
-        edges = [(a, b) for a, b in edges if a != b]
+        # self-pairs stay IN: both algorithms must label their nodes
         truth = _union_find_truth(edges)
         star = _cc(spark, edges)  # default max_iters: log-round budget
         label = _cc(spark, edges, max_iters=40, algorithm="label")
@@ -124,18 +147,4 @@ def test_against_fixture_pairs(spark, sf_dir):
     }
     nodes = {x for p in pair_rows for x in p}
     assert set(labels) == nodes
-    # union-find ground truth in python
-    parent = {n: n for n in nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pair_rows:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    truth = {n: find(n) for n in nodes}
-    assert labels == truth
+    assert labels == _union_find_truth(pair_rows)

@@ -234,6 +234,21 @@ def test_sim_pairs_plans_executor_side_grid(spark, sf_dir):
     assert "Broadcast" not in plan, plan
 
 
+def test_distributed_ntile_rejects_reserved_columns(spark):
+    """An input already carrying a working-column name would silently
+    corrupt ranks (or throw an ambiguous-reference error mid-plan);
+    the operator must refuse it at the boundary."""
+    from etl_work_flow_for_big_data_spark.operators.transforms import (
+        distributed_ntile,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(0).alias("__total")
+    )
+    with pytest.raises(ValueError, match="reserves column"):
+        distributed_ntile(df, ["id"], 4)
+
+
 def test_distributed_ntile_matches_global_ntile(spark):
     """Bit-equality pin: distributed_ntile reproduces NTILE(k) OVER
     (ORDER BY ...) exactly, including the uneven-bucket closed form
