@@ -168,15 +168,14 @@ def cosine_pairs(
     prefilter = threshold - 1e-6
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        out_empty = pd.DataFrame(
-            {
-                "d1": pd.Series(dtype="int64"),
-                "d2": pd.Series(dtype="int64"),
-                "cos_raw": pd.Series(dtype="float64"),
-            }
-        )
         if len(left) == 0 or len(right) == 0:
-            return out_empty
+            return pd.DataFrame(
+                {
+                    "d1": pd.Series(dtype="int64"),
+                    "d2": pd.Series(dtype="int64"),
+                    "cos_raw": pd.Series(dtype="float64"),
+                }
+            )
         B = _as_matrix(right["pv"])
         ids_b = right["pid"].to_numpy(dtype=np.int64)
         norms_b = _fold_norm_sq(B)
@@ -193,7 +192,8 @@ def cosine_pairs(
             outs.append(
                 _score_block(ids_a, A, ids_b, B, norms_b, "pairs", prefilter)
             )
-        return pd.concat(outs, ignore_index=True) if outs else out_empty
+        # left is non-empty here, so the chunk loop emitted ≥1 frame
+        return pd.concat(outs, ignore_index=True)
 
     scored = (
         x.groupBy("blk", "sub")
