@@ -39,8 +39,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted where the op
-    isn't SQL-expressible → driver does a rows-only check)."""
-    return {
-        name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
-    }
+    """DuckDB-runnable ANSI SQL oracle per query — every registered
+    query carries one (hard hash check; no rows-only fallbacks)."""
+    return {name: spec.oracle for name, spec in load_all().items()}

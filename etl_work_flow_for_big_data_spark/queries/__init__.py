@@ -6,11 +6,9 @@ schema and an order-insensitive value hash — so every computed column
 is aliased identically on both sides, floats are rounded identically,
 and rankings use rounded keys + deterministic tie-breaks.
 
-Every registered query carries a DuckDB oracle — none opts out. The
-``oracle=None`` escape hatch (driver falls back to a rows-only check)
-exists in the type but is deliberately unused: even the approximate
-operators (LSH, HLL, IVF) are pinned by oracles over their exact
-verification step or a seeded re-derivation.
+Every registered query carries a DuckDB oracle — none opts out: even
+the approximate operators (LSH, HLL, IVF) are pinned by oracles over
+their exact verification step or a seeded re-derivation.
 
 Ordering contract: queries return UNORDERED results (the relational
 set contract). Both the driver's value hash and the local parity
@@ -35,14 +33,14 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    oracle: str
     doc: str = ""
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, doc: str = ""):
+def query(name: str, oracle: str, doc: str = ""):
     """Decorator registering a (spark_fn, oracle_sql) query pair."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):

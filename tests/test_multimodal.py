@@ -216,6 +216,41 @@ def test_decode_media_parses_headers(spark):
     )
 
 
+def test_jpeg_walk_progressive_and_exif_variants():
+    """The two most common real-world JPEG shapes beyond baseline JFIF:
+    progressive encoding (SOF2 instead of SOF0) and an EXIF preamble
+    (APP1 segment, often kilobytes of TIFF data, before any SOF).
+    Direct `_parse_header` unit — the walk is pure stdlib."""
+    from etl_work_flow_for_big_data_spark.multimodal.columns import _parse_header
+
+    # progressive: SOF2 (0xC2) carries dims exactly like SOF0
+    sof2 = (
+        b"\xff\xc2"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + (768).to_bytes(2, "big")
+        + (1024).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    assert _parse_header(b"\xff\xd8" + sof2) == ("jpeg", 1024, 768)
+
+    # EXIF preamble: APP1 with "Exif\0\0" + TIFF body precedes SOF; the
+    # walk must skip the whole segment by its declared length — the TIFF
+    # body below deliberately embeds 0xFFC0-looking bytes that a naive
+    # scan-for-marker would misread as a SOF with garbage dims
+    tiff = b"MM\x00\x2a" + b"\xff\xc0\x12\x34" + b"\x00" * 20
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (2 + len(app1_body)).to_bytes(2, "big") + app1_body
+    assert _parse_header(b"\xff\xd8" + app1 + _jpeg(640, 480)[2:]) == (
+        "jpeg",
+        640,
+        480,
+    )
+    # EXIF preamble + progressive combined, and truncation after APP1
+    assert _parse_header(b"\xff\xd8" + app1 + sof2) == ("jpeg", 1024, 768)
+    assert _parse_header(b"\xff\xd8" + app1) == ("jpeg", None, None)
+
+
 def test_metadata_scan_prunes_payload(media, tmp_path):
     """Metadata-only query over parquet must not read the content column
     (ReadSchema shows the pruned scan)."""
