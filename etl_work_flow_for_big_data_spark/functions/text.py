@@ -76,6 +76,30 @@ def hash_int16(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
 
 
+def round4_ratio(num: Column, den: Column) -> Column:
+    """``round(num/den, 4)`` (HALF_UP) computed in exact integer
+    arithmetic for integral ``num``/``den`` (``den > 0``).
+
+    Why not ``F.round(num/den, 4)``: double rounding diverges between
+    engines at half boundaries — Spark rounds the binary expansion of
+    the quotient (BigDecimal HALF_UP) while DuckDB rounds the rescaled
+    double, so a ratio within 1 ulp of ``.xxxx5`` can flip either way
+    (caught by the sf0.1 oracle sweep on ``text_quality``). Integer
+    form: ``(20000*num + den) intdiv (2*den) / 10000.0`` — both
+    engines then divide identical integers and emit bit-identical
+    doubles. intdiv is expressed as ``(a - pmod(a, b)) / b``: the
+    double division is exact because the true quotient is integral and
+    < 2^53. Exactness bound: ``20000*num + den < 2^53`` (holds through
+    num ~ 4.5e11 — far beyond any per-document count).
+
+    DuckDB mirror: ``((20000*(num) + (den)) // (2*(den))) / 10000.0``
+    (DuckDB ``len``/COUNT are already BIGINT).
+    """
+    a = F.lit(20000) * num.cast("long") + den.cast("long")
+    b = F.lit(2) * den.cast("long")
+    return (a - F.pmod(a, b)) / b / F.lit(10000.0)
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:
     """MinHash signature: hash function i is the lexicographic min over
     the shingle set of the i-th 4-hex-char WORD of
@@ -90,12 +114,23 @@ def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:
     (__i % 8) * 4 + 1, 4)``.
     """
     n_seeds = (n_hashes + 7) // 8
+
+    # Bind the seed through a factory so the transform lambda keeps
+    # exactly ONE parameter. The obvious `lambda s, _seed=seed: ...`
+    # is a trap: pyspark counts the lambda's parameters (defaults
+    # included) and a two-parameter lambda receives the element INDEX
+    # as its second argument — the bound default is silently replaced
+    # by an unevaluated Column whose f-string repr ("Column<'y_N'>#")
+    # becomes the hash prefix, with N from a per-plan-build counter.
+    # That made the hash family differ from the documented formula AND
+    # vary across plan builds (caught by the sf0.1 oracle sweep as a
+    # candidate-set mismatch; sf0.01 passed by luck).
+    def _seed_md5(seed: int):
+        prefix = f"{seed}#"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     seed_arrays = [
-        F.transform(
-            shingle_arr,
-            lambda s, _seed=seed: F.md5(F.concat(F.lit(f"{_seed}#"), s)),
-        )
-        for seed in range(n_seeds)
+        F.transform(shingle_arr, _seed_md5(seed)) for seed in range(n_seeds)
     ]
 
     def build(hs: Column) -> Column:
@@ -152,12 +187,16 @@ def simhash16_expr(tokens_sql: str) -> str:
     """
 
 
+def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
+    """Number of tokens that are stopwords (integral — pair with
+    ``round4_ratio`` for a cross-engine-exact ratio)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     """Fraction of tokens that are stopwords."""
-    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    toks = tokens(text)
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_stop / F.size(toks).cast("double")
+    return stopword_count(text, stopwords) / token_count(text).cast("double")
 
 
 def type_token_ratio(text: Column) -> Column:

@@ -32,6 +32,7 @@ from etl_work_flow_for_big_data_spark.functions.text import (
     fingerprint,
     minhash_bands,
     minhash_signature,
+    round4_ratio,
     shingles,
     simhash16_expr,
 )
@@ -152,8 +153,13 @@ def ngram_jaccard_pairs(
         .join(nb, "d2")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 4
+            # integer-exact rounding: cross-engine stable at half
+            # boundaries, and the threshold filter below then compares
+            # exactly q/10^4 >= t (both sides mirror this; a raw-ratio
+            # oracle predicate would diverge on pairs whose raw
+            # jaccard rounds across the threshold)
+            round4_ratio(
+                F.col("inter"), F.col("n1") + F.col("n2") - F.col("inter")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -224,10 +230,11 @@ def minhash_lsh_pairs(
         .withColumn("inter", F.size(F.array_intersect("sh1", "sh2")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.size("sh1") + F.size("sh2") - F.col("inter")),
-                4,
+            # same integer-exact rounding + rounded-threshold contract
+            # as ngram_jaccard_pairs (see comment there)
+            round4_ratio(
+                F.col("inter"),
+                F.size("sh1") + F.size("sh2") - F.col("inter"),
             ),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -78,7 +78,15 @@ def _tuned(fn):
 _CHECK_PRIORITY = [
     # -- implementation touched in round 6 (wire predicate grew an
     #    optional sign; cosine_pairs went executor-side; connected
-    #    components got the two-phase default; NTILE stats fused)
+    #    components got the two-phase default; NTILE stats fused;
+    #    minhash seed binding fixed + integer-exact ratio rounding
+    #    across the text/dedup family)
+    "dedup_minhash",
+    "text_quality",
+    "text_lang_id",
+    "dedup_ngram",
+    "dedup_apply",
+    "llm_clean_corpus",
     "filter_required",
     "project_rename",
     "sim_pairs",

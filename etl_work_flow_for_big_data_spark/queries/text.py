@@ -16,14 +16,13 @@ from pyspark.sql import functions as F
 from etl_work_flow_for_big_data_spark.catalog import load_table
 from etl_work_flow_for_big_data_spark.functions.text import (
     EN_STOPWORDS,
-    avg_token_len,
     bpe_ish_tokens,
     fingerprint,
     min_shingle_fingerprint,
-    stopword_ratio,
+    round4_ratio,
+    stopword_count,
     token_count,
     tokens,
-    type_token_ratio,
 )
 from etl_work_flow_for_big_data_spark.operators.dedup import (
     dedup_exact,
@@ -50,6 +49,20 @@ list_distinct(list_transform(
 #: near-duplication, so recall loss is negligible (standard
 #: stop-shingle trade).
 MAX_DF = 100
+
+
+def _duck_j4(inter: str, union: str) -> str:
+    """DuckDB fragment: ``round(inter/union, 4)`` scaled by 10^4,
+    computed in exact integer arithmetic (mirror of
+    ``functions.text.round4_ratio``). Emit ``{_duck_j4(..)}/10000.0``
+    for the jaccard column and compare ``{_duck_j4(..)} >= t*10^4``
+    for the threshold — the filter must apply to the ROUNDED value on
+    both sides or boundary pairs diverge between engines."""
+    return f"((20000*({inter}) + ({union})) // (2*({union})))"
+
+
+#: the ngram-family oracles all threshold on the same rounded jaccard
+_J4_NGRAM = _duck_j4("inter", "na.n_sh + nb.n_sh - inter")
 
 
 def _duck_rare_shingle_index(src: str) -> str:
@@ -87,71 +100,83 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_quality",
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id,
+                      len(toks) AS n,
+                      len(list_distinct(toks)) AS u,
+                      len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x))) AS s,
+                      list_reduce(list_transform(toks, __x -> len(__x)),
+                                  (__a, __b) -> __a + __b) AS chars
+               FROM t)
     SELECT doc_id,
-           CAST(len(toks) AS INT)                                   AS n_tokens,
-           CAST(len(list_distinct(toks)) AS INT)                    AS n_uniq,
-           ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
-           ROUND(list_reduce(list_transform(toks, __x -> len(__x)), (__a, __b) -> __a + __b)
-                 / CAST(len(toks) AS DOUBLE), 4)                    AS avg_token_len,
-           ROUND(len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
-                 / CAST(len(toks) AS DOUBLE), 4)                    AS stop_ratio,
-           ROUND(0.4 * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))
-               + 0.3 * (len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
-                        / CAST(len(toks) AS DOUBLE))
-               + 0.3 * least(len(toks) / 100.0, 1.0), 4)            AS quality
-    FROM t
+           CAST(n AS INT) AS n_tokens,
+           CAST(u AS INT) AS n_uniq,
+           ((20000*u + n) // (2*n)) / 10000.0                         AS ttr,
+           ((20000*chars + n) // (2*n)) / 10000.0                     AS avg_token_len,
+           ((20000*s + n) // (2*n)) / 10000.0                         AS stop_ratio,
+           ((20000*(400*u + 300*s + 3*least(n, 100)*n) + 1000*n)
+              // (2000*n)) / 10000.0                                  AS quality
+    FROM c
     ORDER BY doc_id
     """,
     doc="I4 quality scoring: token count, type-token ratio, avg token "
-    "length, stopword ratio, composite score — all narrow expressions",
+    "length, stopword ratio, composite score — all narrow expressions. "
+    "Every 4-decimal ratio is rounded in exact integer arithmetic "
+    "(functions.text.round4_ratio): double ROUND diverges between "
+    "engines at half boundaries (caught by the sf0.1 sweep; the "
+    "composite quality = (400u + 300s + 3·min(n,100)·n) / 1000n).",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    n_tokens = token_count(text)
-    ttr = type_token_ratio(text)
-    stop = stopword_ratio(text)
-    quality = 0.4 * ttr + 0.3 * stop + 0.3 * F.least(
-        n_tokens / 100.0, F.lit(1.0)
+    n = token_count(text).cast("long")
+    u = F.size(F.array_distinct(tokens(text))).cast("long")
+    s = stopword_count(text).cast("long")
+    chars = F.aggregate(
+        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
+    q_num = F.lit(400) * u + F.lit(300) * s + F.lit(3) * F.least(n, F.lit(100)) * n
     return d.select(
         "doc_id",
-        n_tokens.cast("int").alias("n_tokens"),
-        F.size(F.array_distinct(tokens(text))).cast("int").alias("n_uniq"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(avg_token_len(text), 4).alias("avg_token_len"),
-        F.round(stop, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        n.cast("int").alias("n_tokens"),
+        u.cast("int").alias("n_uniq"),
+        round4_ratio(u, n).alias("ttr"),
+        round4_ratio(chars, n).alias("avg_token_len"),
+        round4_ratio(s, n).alias("stop_ratio"),
+        round4_ratio(q_num, F.lit(1000) * n).alias("quality"),
     )
 
 
 @query(
     "text_lang_id",
     f"""
-    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+    WITH t AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents),
+         c AS (SELECT doc_id, lang, len(toks) AS n,
+                      len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x))) AS s
+               FROM t)
     SELECT doc_id,
            lang AS labeled_lang,
-           ROUND(len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
-                 / CAST(len(toks) AS DOUBLE), 4) AS en_score,
-           CASE WHEN len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x)))
-                     / CAST(len(toks) AS DOUBLE) > 0.05
-                THEN 'en' ELSE 'und' END          AS pred_lang
-    FROM t
+           ((20000*s + n) // (2*n)) / 10000.0 AS en_score,
+           CASE WHEN 20*s > n THEN 'en' ELSE 'und' END AS pred_lang
+    FROM c
     ORDER BY doc_id
     """,
     doc="I4 language-ID heuristic: stopword-hit ratio per language "
     "profile (fixture text is synthetic word soup, so the interesting "
-    "part is the operator shape: per-row set-membership scoring)",
+    "part is the operator shape: per-row set-membership scoring). "
+    "Score rounding and the 0.05 cutoff are both integer-exact "
+    "(s/n > 0.05 ⇔ 20s > n) — no float boundary on either side.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    score = stopword_ratio(F.col("text"))
+    text = F.col("text")
+    n = token_count(text).cast("long")
+    s = stopword_count(text).cast("long")
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        F.round(score, 4).alias("en_score"),
-        F.when(score > 0.05, "en").otherwise("und").alias("pred_lang"),
+        round4_ratio(s, n).alias("en_score"),
+        F.when(F.lit(20) * s > n, "en").otherwise("und").alias("pred_lang"),
     )
 
 
@@ -227,9 +252,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT d1, d2,
-           ROUND(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+           {_J4_NGRAM} / 10000.0 AS jaccard
     FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
-    WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5
+    WHERE {_J4_NGRAM} >= 5000
     ORDER BY d1, d2
     """,
     doc="I2 exact n-gram Jaccard near-dup pairs via inverted shingle "
@@ -270,14 +295,14 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
     )
     SELECT d1, d2,
-           ROUND(len(list_intersect(s1.sh, s2.sh)) * 1.0
-                 / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))), 4)
-             AS jaccard
+           {_duck_j4("len(list_intersect(s1.sh, s2.sh))",
+                     "len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))")}
+             / 10000.0 AS jaccard
     FROM cand
     JOIN base s1 ON cand.d1 = s1.doc_id
     JOIN base s2 ON cand.d2 = s2.doc_id
-    WHERE len(list_intersect(s1.sh, s2.sh)) * 1.0
-          / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))) >= 0.5
+    WHERE {_duck_j4("len(list_intersect(s1.sh, s2.sh))",
+                    "len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh))")} >= 5000
     ORDER BY d1, d2
     """,
     doc="I2 MinHash-LSH near-dup: word-split md5 hash family (8 16-bit "
@@ -368,7 +393,7 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                GROUP BY 1, 2),
          dups AS (SELECT DISTINCT d2 FROM p
                   JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
-                  WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5)
+                  WHERE {_J4_NGRAM} >= 5000)
     SELECT doc_id, lang, source
     FROM documents WHERE doc_id NOT IN (SELECT d2 FROM dups)
     ORDER BY doc_id
@@ -401,7 +426,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2),
       pairs AS (SELECT d1, d2 FROM p
                 JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
-                WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5),
+                WHERE {_J4_NGRAM} >= 5000),
       edges AS (SELECT d1 AS a, d2 AS b FROM pairs
                 UNION SELECT d2, d1 FROM pairs),
       reach(a, b) AS (
@@ -453,7 +478,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1, 2),
     dups AS (SELECT DISTINCT d2 FROM p
              JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
-             WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.5)
+             WHERE {_J4_NGRAM} >= 5000)
     SELECT doc_id, lang, source, n_tokens
     FROM u WHERE doc_id NOT IN (SELECT d2 FROM dups)
     """,

@@ -1,11 +1,17 @@
-"""Driver-style t2 sweep at sf0.01 over the first N registry slots."""
-import sys, time, traceback
+"""Driver-style t2 sweep over the first N registry slots.
+
+Defaults to sf0.01 (the driver's scale); set VERIFY_SF_DIR to sweep
+another scale — e.g. sf0.1 catches scale-dependent divergence the
+driver never exercises (oracle cost grows super-linearly for the
+recursive-CTE / posting-list oracles, so expect minutes there).
+"""
+import os, sys, time, traceback
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession
 import duckdb
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 spark = SparkSession.builder.master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()

@@ -30,6 +30,76 @@ def corpus(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+def test_round4_ratio_is_exact_at_half_boundaries(spark):
+    """Integer-exact HALF_UP rounding of a ratio to 4 decimals,
+    including exactly-half cases where double ROUND diverges between
+    engines (e.g. 67/160 = 0.41875 → 0.4188; double(0.41875) is a
+    hair below half and Spark's F.round gives 0.4187). Cross-checked
+    against DuckDB's mirror fragment on the same (num, den) pairs."""
+    import duckdb
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_work_flow_for_big_data_spark.functions.text import round4_ratio
+
+    cases = [(67, 160), (1, 3), (4999, 9999), (1, 20000), (3, 20000), (5, 8), (7, 7)]
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r["num"], r["den"]): r["q"]
+        for r in df.select(
+            "num", "den", round4_ratio(F.col("num"), F.col("den")).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for num, den in cases:
+        want = float(
+            (Decimal(num) / Decimal(den)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[(num, den)] == want, (num, den)
+        duck = con.sql(
+            f"SELECT ((20000*{num} + {den}) // (2*{den})) / 10000.0"
+        ).fetchone()[0]
+        assert duck == want, (num, den)
+
+
+def test_minhash_signature_matches_documented_formula(spark):
+    """Pin the signature to the EXACT documented hash family: word
+    i%8 of md5((i//8) + '#' + shingle), min over the shingle set —
+    recomputed here with hashlib. Regression for the pyspark lambda
+    trap: a transform lambda with a bound-default second parameter
+    (``lambda s, _seed=seed:``) silently receives the element INDEX
+    Column instead of the default, turning the seed prefix into the
+    Column's repr and the hash family into a per-plan-build artifact
+    (cross-engine AND cross-session divergent; caught by the sf0.1
+    oracle sweep in round 6)."""
+    import hashlib
+
+    from etl_work_flow_for_big_data_spark.functions.text import (
+        minhash_signature,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta epsilon zeta eta theta",)], "text string"
+    )
+    row = (
+        df.select(shingles(F.col("text"), 5).alias("sh"))
+        .select(F.col("sh"), minhash_signature(F.col("sh"), 12).alias("sig"))
+        .collect()[0]
+    )
+    expect = [
+        min(
+            hashlib.md5(f"{i // 8}#{s}".encode()).hexdigest()[
+                (i % 8) * 4 : (i % 8) * 4 + 4
+            ]
+            for s in row["sh"]
+        )
+        for i in range(12)
+    ]
+    assert row["sig"] == expect
+
+
 def test_exact_duplicates_always_pair(corpus):
     """Identical text ⇒ identical shingle sets ⇒ jaccard 1.0 pair in
     BOTH the exact n-gram path and the MinHash-LSH path (identical

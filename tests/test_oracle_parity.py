@@ -9,22 +9,21 @@ from etl_work_flow_for_big_data_spark.queries import load_all
 from tests.parity import compare
 
 REGISTRY = load_all()
-ORACLE_KEYS = sorted(k for k, s in REGISTRY.items() if s.oracle is not None)
-ROWS_ONLY_KEYS = sorted(k for k, s in REGISTRY.items() if s.oracle is None)
+ORACLE_KEYS = sorted(REGISTRY)
+
+
+def test_every_query_is_hash_oracled():
+    # the registry contract: oracle is a non-empty SQL string for every
+    # query — no rows-only registrations (r5 verdict doc-sync item)
+    assert all(
+        isinstance(s.oracle, str) and s.oracle.strip() for s in REGISTRY.values()
+    )
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_parity(name, spark, duck, sf_dir):
     spec = REGISTRY[name]
     compare(spec.fn(spark, sf_dir), duck.sql(spec.oracle))
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
-def test_rows_only_runs(name, spark, sf_dir):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.schema) > 0
 
 
 def test_entry_smoke(spark):
