@@ -194,22 +194,6 @@ def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are stopwords."""
-    return stopword_count(text, stopwords) / token_count(text).cast("double")
-
-
-def type_token_ratio(text: Column) -> Column:
-    toks = tokens(text)
-    return F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
-
-
-def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total / F.size(toks).cast("double")
-
-
 def normalize_text(text: Column) -> Column:
     """lower + whitespace collapse + trim (fingerprint canonical form)."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -17,6 +17,7 @@ from etl_work_flow_for_big_data_spark.catalog import load_table
 from etl_work_flow_for_big_data_spark.functions.text import (
     EN_STOPWORDS,
     bpe_ish_tokens,
+    distinct_tokens,
     fingerprint,
     min_shingle_fingerprint,
     round4_ratio,
@@ -130,7 +131,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     n = token_count(text).cast("long")
-    u = F.size(F.array_distinct(tokens(text))).cast("long")
+    u = F.size(distinct_tokens(text)).cast("long")
     s = stopword_count(text).cast("long")
     chars = F.aggregate(
         tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)

@@ -28,13 +28,10 @@ names = list(qs)[:N]
 for name in names:
     t0 = time.time()
     try:
-        sdf = qs[name](spark, SF)
-        if name in osql:
-            compare(sdf, con.sql(osql[name]))
-            status = "ok"
-        else:
-            n = sdf.count()
-            status = f"rows-only ({n})"
+        # every registered query is hash-oracled (enforced by
+        # tests/test_oracle_parity.py::test_every_query_is_hash_oracled)
+        compare(qs[name](spark, SF), con.sql(osql[name]))
+        status = "ok"
     except Exception as ex:
         status = "FAIL"
         fails.append((name, ex))
