@@ -63,6 +63,61 @@ def test_round4_ratio_is_exact_at_half_boundaries(spark):
         assert duck == want, (num, den)
 
 
+def test_round4_ratio_property_matches_decimal(spark):
+    """Hypothesis sweep: round4_ratio == Decimal HALF_UP for arbitrary
+    integer ratios across the realistic magnitude range (counts up to
+    ~1e7 tokens/shingles per doc), and the DuckDB mirror agrees."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_work_flow_for_big_data_spark.functions.text import round4_ratio
+
+    pairs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),
+            st.integers(min_value=1, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=20, deadline=None)
+    @given(pairs)
+    def check(cases):
+        df = spark.createDataFrame(cases, "num long, den long")
+        got = {
+            (r["num"], r["den"]): r["q"]
+            for r in df.select(
+                "num", "den", round4_ratio(F.col("num"), F.col("den")).alias("q")
+            ).collect()
+        }
+        # BIGINT casts mirror the real oracles, where num/den come from
+        # len()/COUNT(*) (already BIGINT) — bare VALUES literals type
+        # as INT32 and 20000*num would overflow
+        vals = ", ".join(f"({n}::BIGINT, {d}::BIGINT)" for n, d in cases)
+        duck = {
+            (n, d): q
+            for n, d, q in con.sql(
+                f"SELECT num, den, ((20000*num + den) // (2*den)) / 10000.0 "
+                f"FROM (VALUES {vals}) AS t(num, den)"
+            ).fetchall()
+        }
+        for n, d in cases:
+            want = float(
+                (Decimal(n) / Decimal(d)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert got[(n, d)] == want == duck[(n, d)], (n, d)
+
+    check()
+
+
 def test_minhash_signature_matches_documented_formula(spark):
     """Pin the signature to the EXACT documented hash family: word
     i%8 of md5((i//8) + '#' + shingle), min over the shingle set —
