@@ -94,10 +94,16 @@ def round4_ratio(num: Column, den: Column) -> Column:
 
     DuckDB mirror: ``((20000*(num) + (den)) // (2*(den))) / 10000.0``
     (DuckDB ``len``/COUNT are already BIGINT).
+
+    ``den = 0`` (e.g. a zero-token document) yields NULL, matching
+    DuckDB's ``// 0`` — via ``try_mod``, because under ANSI mode
+    (Spark 4 default) a plain ``pmod(a, 0)`` ERRORS and one degenerate
+    record must not kill the task. num/den are non-negative by
+    contract, so try_mod's %-semantics equal pmod here.
     """
     a = F.lit(20000) * num.cast("long") + den.cast("long")
     b = F.lit(2) * den.cast("long")
-    return (a - F.pmod(a, b)) / b / F.lit(10000.0)
+    return (a - F.try_mod(a, b)) / b / F.lit(10000.0)
 
 
 def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:

@@ -87,6 +87,8 @@ _CHECK_PRIORITY = [
     "dedup_ngram",
     "dedup_apply",
     "llm_clean_corpus",
+    "dedup_simhash",
+    "text_chunk",
     "filter_required",
     "project_rename",
     "sim_pairs",

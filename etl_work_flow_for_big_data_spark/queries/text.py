@@ -106,8 +106,10 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       len(toks) AS n,
                       len(list_distinct(toks)) AS u,
                       len(list_filter(toks, __x -> list_contains({EN_STOPWORDS!r}, __x))) AS s,
-                      list_reduce(list_transform(toks, __x -> len(__x)),
-                                  (__a, __b) -> __a + __b) AS chars
+                      -- list_sum, NOT list_reduce: reduce ERRORS on an
+                      -- empty list (zero-token doc); list_sum yields
+                      -- NULL there, and the n=0 ratio is NULL anyway
+                      list_sum(list_transform(toks, __x -> len(__x))) AS chars
                FROM t)
     SELECT doc_id,
            CAST(n AS INT) AS n_tokens,
@@ -324,11 +326,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, list_distinct({_DUCK_TOKS}) AS toks FROM documents)
     SELECT doc_id,
+           -- inner vote via list_sum, NOT list_reduce: reduce ERRORS
+           -- on an empty token list; list_sum yields NULL there, the
+           -- CASE falls through to 0 per bit, and simhash = 0 exactly
+           -- like Spark's empty-array aggregate
            CAST(list_reduce(list_transform(range(0, 16), __j -> CASE WHEN
-               list_reduce(list_transform(toks,
+               list_sum(list_transform(toks,
                  __t -> CASE WHEN ((CAST('0x' || substring(md5(__t), 1, 4) AS INT) >> __j) & 1) = 1
-                             THEN 1 ELSE -1 END),
-                 (__x, __y) -> __x + __y) > 0
+                             THEN 1 ELSE -1 END)) > 0
              THEN (1 << __j) ELSE 0 END), (__x, __y) -> __x + __y) AS INT) AS simhash
     FROM t
     ORDER BY doc_id
@@ -354,7 +359,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t)
     SELECT doc_id,
            CAST(c AS INT)                                        AS chunk_idx,
-           array_to_string(toks[c*24 + 1 : c*24 + 32], ' ')      AS chunk_text,
+           -- COALESCE: duck's array_to_string([]) is NULL where
+           -- spark's array_join([]) is '' (zero-token doc's one chunk)
+           COALESCE(array_to_string(toks[c*24 + 1 : c*24 + 32], ' '), '') AS chunk_text,
            CAST(len(toks[c*24 + 1 : c*24 + 32]) AS INT)          AS n_chunk_tokens
     FROM n, unnest(range(0, n_chunks)) AS u(c)
     ORDER BY doc_id, chunk_idx

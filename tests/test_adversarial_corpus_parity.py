@@ -1,0 +1,85 @@
+"""Oracle parity for the text/dedup family on an ADVERSARIAL corpus —
+document shapes the driver-generated fixtures do not currently contain
+but could after a regeneration (the r5 ADVICE negative-user-id episode
+is the precedent): empty text, whitespace-only, single token, NULL
+text, unicode, non-space whitespace, heavy repetition, near-dup tails.
+
+Found in round 6 via exactly this probe:
+- DuckDB ``list_reduce`` ERRORS on an empty list (zero-token doc) —
+  the text_quality / dedup_simhash oracles now use ``list_sum``;
+- DuckDB ``array_to_string([])`` is NULL where Spark ``array_join``
+  is '' — the text_chunk oracle now COALESCEs;
+- ``round4_ratio`` NULLs on a zero denominator via ``try_mod``
+  (ANSI-mode ``pmod(a, 0)`` raises and would kill the task).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+ADVERSARIAL_DOCS = [
+    (1, "", "en", "webz", 0),
+    (2, "   ", "en", "webz", 3),
+    (3, "single", "de", "webz", 6),
+    (4, "the the the the the", "en", "webz", 19),
+    (5, "naïve café über 東京 emoji 🚀 mix the of", "mix", "webz", 40),
+    (6, None, "en", "webz", None),
+    (7, "a\tb\nc d e f g h i j k l", "en", "webz", 23),
+    (8, "tok " * 2000, "en", "webz", 8000),
+    (9, "tok " * 2000 + "tail", "en", "webz", 8004),
+]
+
+#: every registered query that reads ONLY the documents table
+TEXT_FAMILY = [
+    "text_quality",
+    "text_lang_id",
+    "text_tokens",
+    "text_fingerprint",
+    "text_chunk",
+    "text_scrub",
+    "text_token_regex",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_apply",
+    "dedup_components",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("adversarial"))
+    (
+        spark.createDataFrame(
+            ADVERSARIAL_DOCS,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "documents.parquet"))
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def adversarial_duck(adversarial_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TEXT_FAMILY)
+def test_adversarial_parity(name, spark, adversarial_dir, adversarial_duck):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from tests.parity import compare
+
+    spec = load_all()[name]
+    compare(spec.fn(spark, adversarial_dir), adversarial_duck.sql(spec.oracle))
