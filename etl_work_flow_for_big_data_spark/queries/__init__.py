@@ -94,8 +94,24 @@ _CHECK_PRIORITY = [
     "sim_pairs",
     "dedup_components",
     "window_ntile",
+    # -- events family hardened late in round 6 (total wire/JSON
+    #    semantics under adversarial fixtures): fresh checks required
+    "parse_kv",
+    "serialize_kv",
+    "serialize_json",
+    "parse_json",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
     # -- last hard check is round 4 (r5 spent its 50 slots on the
-    #    then-stale r3 set plus its own perf-touched queries)
+    #    then-stale r3 set plus its own perf-touched queries). 20
+    #    r6-touched + 37 r4-stale = 57 candidates for 50 slots: the 7
+    #    SIMPLEST unchanged r4-green aggregates/sorts (agg_groupby,
+    #    agg_distinct, agg_conditional, agg_stats, set_union,
+    #    sort_multi, topk) sit at the back and defer to r7 — changed
+    #    implementations outrank stale-but-unchanged ones, and the
+    #    deferred seven are still oracle-checked at sf0.001 by
+    #    tests/test_oracle_parity.py every round.
     "join_anti",
     "join_asof",
     "join_left",
@@ -103,23 +119,16 @@ _CHECK_PRIORITY = [
     "join_semi",
     "join_star",
     "merge_upsert",
-    "agg_groupby",
-    "agg_distinct",
     "agg_approx_distinct",
     "agg_approx_quantile",
-    "agg_conditional",
     "agg_cube",
     "agg_rollup",
     "agg_pivot",
     "agg_unpivot",
-    "agg_stats",
     "null_handling",
     "profile_columns",
-    "set_union",
-    "sort_multi",
     "subquery_exists",
     "subquery_scalar",
-    "topk",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
@@ -130,6 +139,15 @@ _CHECK_PRIORITY = [
     "window_analytic",
     "window_range_frame",
     "window_rank",
+    # -- deferred tail (see note above): slots 48-50 still reach the
+    #    first three of these; the rest lead round 7
+    "agg_groupby",
+    "agg_distinct",
+    "agg_conditional",
+    "agg_stats",
+    "set_union",
+    "sort_multi",
+    "topk",
 ]
 
 

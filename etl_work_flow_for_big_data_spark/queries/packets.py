@@ -29,18 +29,29 @@ from etl_work_flow_for_big_data_spark.functions.packets import (
 from etl_work_flow_for_big_data_spark.queries import query
 
 # Shared payload construction (MUST stay in sync with _PAYLOAD_SQL).
+# Total on any events fixture (adversarial-parity contract):
+# - an event_type embedding the entry terminator chr(10) cannot be
+#   framed unambiguously (classic injection: a "t=a\ns=9" value would
+#   smuggle entries into the wire frame) → payload NULL;
+# - a value whose cents overflow BIGINT (±Inf/NaN/|x|>2^63) serializes
+#   via TRY_CAST → NULL cents → payload NULL (ANSI CAST would kill the
+#   task on one corrupt record);
+# - NULL user_id/event_type propagate NULL through the concat on both
+#   engines → payload NULL.
 _PAYLOAD_SQL = """
+    CASE WHEN event_type LIKE '%' || chr(10) || '%' THEN NULL ELSE
     CASE WHEN user_id % 5 = 0 THEN '' ELSE 's=' || user_id || chr(10) END
     || 'f=file_' || (event_id % 10) || '.cdr' || chr(10)
     || 't=' || event_type || chr(10)
-    || 'v=' || CAST(ROUND(value * 100) AS BIGINT) || chr(10)
+    || 'v=' || TRY_CAST(ROUND(value * 100) AS BIGINT) || chr(10)
     || 'x=eq=' || event_type || chr(10)
+    END
 """
 
 
 def _payload(df: DataFrame) -> DataFrame:
     nl = F.lit("\n")
-    cents = F.round(F.col("value") * 100).cast("long").cast("string")
+    cents = F.round(F.col("value") * 100).try_cast("long").cast("string")
     payload = F.concat(
         F.when(
             F.col("user_id") % 5 == 0, F.lit("")
@@ -59,6 +70,9 @@ def _payload(df: DataFrame) -> DataFrame:
         F.col("event_type"),
         nl,
     )
+    payload = F.when(
+        F.col("event_type").contains("\n"), F.lit(None).cast("string")
+    ).otherwise(payload)
     return df.withColumn("payload", payload)
 
 
@@ -68,12 +82,17 @@ def _payload(df: DataFrame) -> DataFrame:
     WITH p AS (SELECT event_id, user_id, event_type, value,
                       {_PAYLOAD_SQL} AS payload FROM events)
     SELECT event_id,
-           CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END    AS s,
-           'file_' || (event_id % 10) || '.cdr'                    AS f,
-           event_type                                              AS t,
-           CAST(ROUND(value * 100) AS BIGINT)                      AS v_cents,
-           'eq=' || event_type                                     AS x,
-           CAST(CASE WHEN user_id % 5 = 0 THEN 4 ELSE 5 END AS INT) AS n_entries
+           CASE WHEN payload IS NULL THEN NULL
+                WHEN user_id % 5 = 0 THEN NULL ELSE user_id END    AS s,
+           CASE WHEN payload IS NULL THEN NULL
+                ELSE 'file_' || (event_id % 10) || '.cdr' END      AS f,
+           CASE WHEN payload IS NULL THEN NULL ELSE event_type END AS t,
+           CASE WHEN payload IS NULL THEN NULL
+                ELSE TRY_CAST(ROUND(value * 100) AS BIGINT) END    AS v_cents,
+           CASE WHEN payload IS NULL THEN NULL
+                ELSE 'eq=' || event_type END                       AS x,
+           CAST(CASE WHEN payload IS NULL THEN NULL
+                     WHEN user_id % 5 = 0 THEN 4 ELSE 5 END AS INT) AS n_entries
     FROM p
     ORDER BY event_id
     """,
@@ -101,14 +120,19 @@ def parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            'd=first' || chr(10) || 'd=second' || chr(10)
            || 'f=file_' || (event_id % 10) || '.cdr' || chr(10)
-           || 's=' || user_id || chr(10)
-           || 't=' || event_type || chr(10)                        AS payload
+           || CASE WHEN user_id IS NULL THEN ''
+                   ELSE 's=' || user_id || chr(10) END
+           || CASE WHEN event_type IS NULL THEN ''
+                   ELSE 't=' || event_type || chr(10) END          AS payload
     FROM events
     ORDER BY event_id
     """,
     doc="B2 packet serialize: entries → k=v wire text in std::multimap "
     "order (key-ascending, insertion-stable for duplicate keys), every "
-    "entry newline-terminated (MFramework.cpp:1552-1560)",
+    "entry newline-terminated (MFramework.cpp:1552-1560). A NULL-valued "
+    "entry is SKIPPED, not nulled through: array_join drops null "
+    "elements, exactly a multimap that never held the absent key — the "
+    "oracle's per-entry CASEs mirror that.",
 )
 def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -135,7 +159,7 @@ def serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT event_id, user_id, {_PAYLOAD_SQL} AS payload FROM events)
     SELECT event_id, user_id AS s
-    FROM p WHERE user_id % 5 <> 0
+    FROM p WHERE regexp_matches(payload, '(^|' || chr(10) || ')s=-?[0-9]+' || chr(10))
     ORDER BY event_id
     """,
     doc="B3 validity filter: drop packets lacking required key 's' "
@@ -171,7 +195,7 @@ def filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(user_id AS VARCHAR)              AS s_norm,
            'file_' || (event_id % 10) || '.cdr'  AS fname
-    FROM p WHERE user_id % 5 <> 0
+    FROM p WHERE regexp_matches(payload, '(^|' || chr(10) || ')s=-?[0-9]+' || chr(10))
     ORDER BY event_id
     """,
     doc="B4 key projection/rewrite: copy map, normalize 's' "
@@ -302,21 +326,30 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parse_json",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_via_path
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT) AS k,
+           TRY_CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k') END AS INT) AS k_via_path
     FROM events
     ORDER BY event_id
     """,
     doc="B1/I6 JSON extraction: from_json with schema + get_json_object "
-    "path access over events.props",
+    "path access over events.props. Total on any fixture: malformed "
+    "JSON parses to NULL (from_json is lenient; duck json_extract "
+    "ERRORS without the json_valid guard) and a non-numeric k is "
+    "try_cast → NULL on both sides instead of an ANSI cast error.",
 )
 def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "k INT")
+    # k STRING + try_cast, not k INT: from_json with an INT field nulls
+    # a JSON-string "12" that the path-extract route (and the oracle's
+    # json_extract_string) coerces to 12 — extract-then-cast keeps both
+    # columns and the oracle on one coercion rule
+    parsed = F.from_json("props", "k STRING")
     return ev.select(
         "event_id",
-        parsed["k"].alias("k"),
-        F.get_json_object("props", "$.k").cast("int").alias("k_via_path"),
+        parsed["k"].try_cast("int").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_via_path"),
     )
 
 
@@ -324,13 +357,24 @@ def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "serialize_json",
     """
     SELECT event_id,
-           '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
-             AS js
+           '{"event_id":' || event_id ||
+           CASE WHEN event_type IS NULL THEN ''
+                ELSE ',"event_type":"' ||
+                     replace(replace(replace(replace(replace(event_type,
+                       chr(92), chr(92) || chr(92)),
+                       '"', chr(92) || '"'),
+                       chr(10), chr(92) || 'n'),
+                       chr(9), chr(92) || 't'),
+                       chr(13), chr(92) || 'r') || '"'
+           END || '}' AS js
     FROM events
     ORDER BY event_id
     """,
     doc="B2 JSON serialization: to_json(struct(...)) — oracle builds the "
-    "expected compact-JSON string by hand (fields contain no escapes)",
+    "compact-JSON string by hand, mirroring to_json's two non-obvious "
+    "behaviors: NULL fields are OMITTED (not emitted as null), and "
+    'string values are JSON-escaped (backslash first, then ", \\n, '
+    "\\t, \\r).",
 )
 def serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

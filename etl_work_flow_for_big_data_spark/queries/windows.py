@@ -27,12 +27,15 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2)     AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY window_start, event_type
     """,
     doc="G7 tumbling event-time window (1h): Spark window() aligns to "
     "epoch, so 1h-tumbling == date_trunc('hour') in the oracle. "
-    "Streaming twin adds withWatermark — same plan shape.",
+    "Streaming twin adds withWatermark — same plan shape. NULL-ts "
+    "events are windowless: Spark's window() drops them implicitly; "
+    "the oracle filters explicitly.",
 )
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -59,12 +62,14 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT)       AS n_events,
            ROUND(SUM(value), 2)           AS total_value
     FROM events, (VALUES (0), (1)) AS o(off)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     ORDER BY window_start
     """,
     doc="G7 sliding window (2h size, 1h slide): each event lands in two "
     "windows with starts date_trunc(hour,ts) and -1h; oracle expands "
-    "via a 2-row lateral VALUES",
+    "via a 2-row lateral VALUES. NULL-ts events are windowless (see "
+    "window_tumbling).",
 )
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -92,6 +97,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, value,

@@ -1,4 +1,5 @@
-"""Oracle parity for the text/dedup family on an ADVERSARIAL corpus —
+"""Oracle parity for the text/dedup and packets/windows families on an
+ADVERSARIAL corpus —
 document shapes the driver-generated fixtures do not currently contain
 but could after a regeneration (the r5 ADVICE negative-user-id episode
 is the precedent): empty text, whitespace-only, single token, NULL
@@ -83,3 +84,90 @@ def test_adversarial_parity(name, spark, adversarial_dir, adversarial_duck):
 
     spec = load_all()[name]
     compare(spec.fn(spark, adversarial_dir), adversarial_duck.sql(spec.oracle))
+
+
+# ---------------------------------------------------------------------------
+# events family — shapes found divergent (and fixed) in round 6:
+# huge/Inf/NaN value (ANSI cents cast would kill the task), NULL
+# user_id/event_type/ts/props, negative user_id (r5 advice), newline in
+# event_type (wire-frame injection → payload NULL), JSON-escape chars,
+# malformed JSON, JSON-string-typed k.
+
+import datetime as _dt
+
+_TS = _dt.datetime(2024, 1, 1)
+ADVERSARIAL_EVENTS = [
+    (0, _TS, 13, "error", 185.22, '{"k": 87}'),
+    (1, _TS, -7, "signup", 106.03, '{"k": 0}'),
+    (2, _TS, None, "purchase", 9.64, '{"k": 12}'),
+    (3, _TS, 0, None, None, None),
+    (4, _TS, 9007199254740993, "view", -0.0, '{"k": -1}'),
+    (5, None, 5, "s=v weird=type", 1e308, "not json"),
+    (6, _TS, 20, "p|pipe\nnl", 0.005, '{"k": null}'),
+    (7, _TS, 25, "", 100000.5, "{}"),
+    (8, _TS, 31, 'q"uo\\te\tx', float("nan"), '{"k": "12"}'),
+    (9, _TS, 33, "ok", float("inf"), '{"k": "abc"}'),
+]
+
+#: registered queries that read ONLY the events table
+EVENTS_FAMILY = [
+    "agg_grouping_sets",
+    "case_map",
+    "cast_types",
+    "filter_bitmask",
+    "filter_required",
+    "join_asof",
+    "null_handling",
+    "parse_json",
+    "parse_kv",
+    "project_rename",
+    "route_assign",
+    "serialize_json",
+    "serialize_kv",
+    "ts_gapfill",
+    "window_range_frame",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("adversarial_events"))
+    (
+        spark.createDataFrame(
+            ADVERSARIAL_EVENTS,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "events.parquet"))
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def adversarial_events_duck(adversarial_events_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adversarial_events_dir}/events.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENTS_FAMILY)
+def test_adversarial_events_parity(
+    name, spark, adversarial_events_dir, adversarial_events_duck
+):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from tests.parity import compare
+
+    spec = load_all()[name]
+    compare(
+        spec.fn(spark, adversarial_events_dir),
+        adversarial_events_duck.sql(spec.oracle),
+    )
