@@ -108,12 +108,25 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
-    """Exact row count from the parquet footer — a metadata read, no
+    """Exact row count from the parquet footer(s) — a metadata read, no
     scan job. Used to size driver-bounded operators (e.g.
-    ``cosine_pairs`` block count) without paying a count() pass."""
+    ``cosine_pairs`` block count) without paying a count() pass.
+    Handles both a single parquet file (the fixture shape) and a
+    directory dataset (the only shape that exists at scale — per-file
+    footer reads summed, no data read)."""
+    import os
+
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

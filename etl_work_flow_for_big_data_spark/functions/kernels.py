@@ -48,7 +48,20 @@ def _fold_norm_sq(A: np.ndarray) -> np.ndarray:
 
 
 def _as_matrix(col: pd.Series) -> np.ndarray:
-    return np.array([np.asarray(v, dtype=np.float64) for v in col], dtype=np.float64)
+    """Batch of array rows → (n, dim) float64 matrix, TOTAL on any
+    input: a NULL or wrong-dimension row becomes an all-NaN row (its
+    cosine is NaN, which every downstream prefilter rejects) instead
+    of a task-killing ragged-array ValueError — at 100 TB one null
+    embedding must not abort the job. dim is taken from the first
+    well-formed row; an all-degenerate batch yields a (n, 0) matrix
+    whose scores are empty."""
+    rows = [None if v is None else np.asarray(v, dtype=np.float64) for v in col]
+    dim = next((len(r) for r in rows if r is not None), 0)
+    out = np.full((len(rows), dim), np.nan, dtype=np.float64)
+    for i, r in enumerate(rows):
+        if r is not None and len(r) == dim:
+            out[i] = r
+    return out
 
 
 def _score_block(

@@ -37,6 +37,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
 
 
+def is_valid_embedding(a: Column) -> Column:
+    """The domain where cosine is defined: a non-NULL vector with a
+    finite, strictly positive self-dot. Excludes NULL vectors, zero
+    vectors (0/0 cosine) and vectors with NaN/Inf components — all of
+    which diverge between engines (SQL engines order NaN above every
+    value; numpy comparisons reject it) and none of which is a
+    meaningful similarity candidate.
+
+    DuckDB mirror: ``isfinite(<selfdot>) AND <selfdot> > 0`` (a NULL
+    self-dot fails both).
+    """
+    sd = norm_sq(a)
+    return (
+        sd.isNotNull()
+        & ~F.isnan(sd)
+        & (sd != F.lit(float("inf")))
+        & (sd > 0)
+    )
+
+
 def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id)
     for the vector column named by ``vec_sql``.

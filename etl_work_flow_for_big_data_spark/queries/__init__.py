@@ -92,6 +92,8 @@ _CHECK_PRIORITY = [
     "filter_required",
     "project_rename",
     "sim_pairs",
+    "sim_topk",
+    "sim_ivf_topk",
     "dedup_components",
     "window_ntile",
     # -- events family hardened late in round 6 (total wire/JSON

@@ -35,9 +35,23 @@ def _duck_cos(a: str, b: str) -> str:
     )
 
 
+#: validity CTE: the kernel-backed queries (topk/pairs/ivf) consider
+#: only vectors where cosine is defined — mirror of
+#: functions.vectors.is_valid_embedding. The LSH queries deliberately
+#: skip this: their pure-Catalyst verify step already treats NaN/NULL
+#: identically on both engines, so adding a filter there would change
+#: behavior, not align it.
+_DUCK_VALID_EMB = f"""
+    v AS (SELECT vec_id, embedding FROM embeddings
+          WHERE isfinite({_DOT.format(a='embedding', b='embedding')})
+            AND ({_DOT.format(a='embedding', b='embedding')}) > 0)
+"""
+
+
 @query(
     "sim_topk",
     f"""
+    WITH {_DUCK_VALID_EMB}
     SELECT q.vec_id AS q_vec_id,
            CAST(ROW_NUMBER() OVER (
              PARTITION BY q.vec_id
@@ -45,16 +59,22 @@ def _duck_cos(a: str, b: str) -> str:
                       c.vec_id) AS BIGINT)                       AS rank,
            c.vec_id AS c_vec_id,
            ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)   AS cos_sim
-    FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
-    JOIN embeddings c ON q.vec_id <> c.vec_id
+    FROM (SELECT * FROM v WHERE vec_id < 5) q
+    JOIN v c ON q.vec_id <> c.vec_id
     QUALIFY rank <= 10
     ORDER BY q_vec_id, rank
     """,
     doc="I3 exact top-k cosine: broadcast query set × streamed "
-    "candidates, no candidate shuffle; rank on rounded similarity",
+    "candidates, no candidate shuffle; rank on rounded similarity. "
+    "Degenerate vectors (NULL/zero/NaN) are out of domain on both "
+    "sides (is_valid_embedding / the validity CTE).",
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"))
+    )
     return topk_cosine(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=10
     )
@@ -63,20 +83,26 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pairs",
     f"""
+    WITH {_DUCK_VALID_EMB}
     SELECT a.vec_id AS d1, b.vec_id AS d2,
            ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
     ORDER BY d1, d2
     """,
     doc="I2/I3 embedding near-dup pairs (exact O(n²) baseline; the LSH "
-    "variant below is the scale path)",
+    "variant below is the scale path). Degenerate vectors are out of "
+    "domain on both sides.",
 )
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.catalog import table_row_count
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"))
+    )
     # parquet-footer count: sizes the hash blocks without a scan job
+    # (upper bound — the validity filter only shrinks blocks)
     n = table_row_count(sf_dir, "embeddings")
     return cosine_pairs(e, "vec_id", "embedding", threshold=0.4, n_hint=n)
 
@@ -124,14 +150,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivf_topk",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    WITH {_DUCK_VALID_EMB},
+    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM v WHERE vec_id < 16),
     a AS (
       SELECT e.vec_id, e.embedding, c.cid,
              ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
                ORDER BY ROUND({_duck_cos('e.embedding', 'c.cvec')}, 6) DESC, c.cid
              ) AS rn
-      FROM embeddings e JOIN cent c ON e.vec_id <> c.cid
+      FROM v e JOIN cent c ON e.vec_id <> c.cid
     ),
     asg AS (
       SELECT vec_id, embedding,
@@ -152,12 +179,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="I3 IVF-style ANN: nearest-centroid assignment (deterministic "
     "centroid set = first 16 ids) then search within the query's "
-    "cluster only — the inverted-file scale path next to LSH",
+    "cluster only — the inverted-file scale path next to LSH. "
+    "Degenerate vectors are out of domain on both sides (a NaN "
+    "centroid would otherwise poison every assignment).",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
     from etl_work_flow_for_big_data_spark.operators.similarity import ivf_topk
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"))
+    )
     return ivf_topk(
         e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16, k=5
     )

@@ -171,3 +171,78 @@ def test_adversarial_events_parity(
         spec.fn(spark, adversarial_events_dir),
         adversarial_events_duck.sql(spec.oracle),
     )
+
+
+# ---------------------------------------------------------------------------
+# embeddings family — degenerate vectors (round 6): NULL embedding
+# (crashed _as_matrix with a ragged-array ValueError), zero vector
+# (0/0 cosine), NaN components (SQL engines order NaN above everything;
+# numpy rejects it), NULL label, huge-but-finite components. The
+# kernel-backed queries treat these as out of domain on both sides
+# (is_valid_embedding / the validity CTE); the pure-Catalyst LSH
+# queries are consistent by construction and unfiltered.
+
+import random as _random
+
+_random.seed(7)
+
+
+def _vec():
+    return [round(_random.uniform(-1, 1), 3) for _ in range(64)]
+
+
+ADVERSARIAL_EMBEDDINGS = [(i, _vec(), i % 3) for i in range(30)] + [
+    (100, [0.0] * 64, 0),
+    (101, None, 1),
+    (102, _vec(), None),
+    (103, [float("nan")] * 64, 2),
+    (104, [1e30] * 64, 0),
+]
+
+EMBEDDINGS_FAMILY = [
+    "sim_topk",
+    "sim_pairs",
+    "sim_ivf_topk",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("adversarial_embeddings"))
+    (
+        spark.createDataFrame(
+            ADVERSARIAL_EMBEDDINGS,
+            "vec_id long, embedding array<float>, label int",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(tmp, "embeddings.parquet"))
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def adversarial_embeddings_duck(adversarial_embeddings_dir):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{adversarial_embeddings_dir}/embeddings.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMBEDDINGS_FAMILY)
+def test_adversarial_embeddings_parity(
+    name, spark, adversarial_embeddings_dir, adversarial_embeddings_duck
+):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from tests.parity import compare
+
+    spec = load_all()[name]
+    compare(
+        spec.fn(spark, adversarial_embeddings_dir),
+        adversarial_embeddings_duck.sql(spec.oracle),
+    )

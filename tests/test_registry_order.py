@@ -25,6 +25,8 @@ CHANGED_R6 = [
     "filter_required",
     "project_rename",
     "sim_pairs",
+    "sim_topk",
+    "sim_ivf_topk",
     "dedup_components",
     "window_ntile",
     "parse_kv",
