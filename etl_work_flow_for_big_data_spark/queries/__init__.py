@@ -96,6 +96,8 @@ _CHECK_PRIORITY = [
     "sim_ivf_topk",
     "dedup_components",
     "window_ntile",
+    "scalar_string_date",
+    "agg_approx_quantile",
     # -- events family hardened late in round 6 (total wire/JSON
     #    semantics under adversarial fixtures): fresh checks required
     "parse_kv",
@@ -106,14 +108,15 @@ _CHECK_PRIORITY = [
     "window_sliding",
     "window_session",
     # -- last hard check is round 4 (r5 spent its 50 slots on the
-    #    then-stale r3 set plus its own perf-touched queries). 20
-    #    r6-touched + 37 r4-stale = 57 candidates for 50 slots: the 7
+    #    then-stale r3 set plus its own perf-touched queries). 24
+    #    r6-touched + 33 r4-stale = 57 candidates for 50 slots: the 7
     #    SIMPLEST unchanged r4-green aggregates/sorts (agg_groupby,
     #    agg_distinct, agg_conditional, agg_stats, set_union,
-    #    sort_multi, topk) sit at the back and defer to r7 — changed
-    #    implementations outrank stale-but-unchanged ones, and the
-    #    deferred seven are still oracle-checked at sf0.001 by
-    #    tests/test_oracle_parity.py every round.
+    #    sort_multi, topk) defer to r7 — changed implementations
+    #    outrank stale-but-unchanged ones, and the deferred seven are
+    #    still oracle-checked at sf0.001 by tests/test_oracle_parity.py
+    #    (and on adversarial tables by
+    #    tests/test_adversarial_corpus_parity.py) every round.
     "join_anti",
     "join_asof",
     "join_left",
@@ -122,7 +125,6 @@ _CHECK_PRIORITY = [
     "join_star",
     "merge_upsert",
     "agg_approx_distinct",
-    "agg_approx_quantile",
     "agg_cube",
     "agg_rollup",
     "agg_pivot",
@@ -141,8 +143,9 @@ _CHECK_PRIORITY = [
     "window_analytic",
     "window_range_frame",
     "window_rank",
-    # -- deferred tail (see note above): slots 48-50 still reach the
-    #    first three of these; the rest lead round 7
+    # -- deferred tail (see note above): the 24 touched + 26 kept-stale
+    #    entries fill all 50 slots, so these seven defer to round 7
+    #    (they must LEAD the r7 rotation)
     "agg_groupby",
     "agg_distinct",
     "agg_conditional",

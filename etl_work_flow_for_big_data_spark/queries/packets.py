@@ -290,7 +290,7 @@ def case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            substring(o_orderpriority, 1, 1)                          AS prio_code,
-           position('URGENT' IN o_orderpriority) > 0                 AS is_urgent,
+           COALESCE(position('URGENT' IN o_orderpriority) > 0, FALSE) AS is_urgent,
            upper(o_orderstatus) || '-' || lower(o_orderpriority)     AS tag,
            strftime(o_orderdate, '%Y-%m')                            AS order_month,
            CAST(year(o_orderdate) AS INT)                            AS order_year,
@@ -309,7 +309,13 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
-        (F.instr("o_orderpriority", "URGENT") > 0).alias("is_urgent"),
+        # coalesce to FALSE: a NULL priority is "not urgent", and a
+        # nullable boolean column changes pandas dtype (bool → object/
+        # float) the moment one NULL appears, breaking value-hash
+        # comparability for the WHOLE column
+        F.coalesce(F.instr("o_orderpriority", "URGENT") > 0, F.lit(False)).alias(
+            "is_urgent"
+        ),
         F.concat(
             F.upper("o_orderstatus"), F.lit("-"), F.lower("o_orderpriority")
         ).alias("tag"),

@@ -954,7 +954,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag,
            ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS exact_p50,
-           TRUE                                     AS approx_ok
+           QUANTILE_CONT(l_quantity, 0.5) IS NOT NULL AS approx_ok
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -962,7 +962,10 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="D6 approximate percentile (percentile_approx — mergeable "
     "sketch, the streaming/100-TB variant of exact percentile). Sketch "
     "values aren't engine-portable, so the oracle checks the estimate "
-    "lands within 2% of the exact interpolated quantile.",
+    "lands within 2% of the exact interpolated quantile; a group with "
+    "no non-null values has no estimate to check → approx_ok FALSE on "
+    "both sides (kept non-null so the boolean column's pandas dtype "
+    "never flips).",
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -975,10 +978,13 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_p50",
-            (
+            # abs() denominator: a negative exact median must not make
+            # the relative-error test vacuously true
+            F.coalesce(
                 F.abs(F.col("approx_p50") - F.col("exact_p50"))
-                / F.col("exact_p50")
-                < 0.02
+                / F.abs(F.col("exact_p50"))
+                < 0.02,
+                F.lit(False),
             ).alias("approx_ok"),
         )
     )
@@ -1295,7 +1301,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey,
            o_orderkey,
-           CAST(NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 2), o_orderkey)
+           CAST(NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 2) NULLS FIRST,
+                               o_orderkey)
                 AS BIGINT) AS price_quartile
     FROM orders
     """,
@@ -1305,7 +1312,10 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "freezes the partitioning, derives each partition's global-rank "
     "offset from a constant-size count collect, and applies NTILE's "
     "closed form to partition-local row_number + offset. Bit-identical "
-    "to NTILE(4) OVER (ORDER BY ...) with no single-partition sort.",
+    "to NTILE(4) OVER (ORDER BY ...) with no single-partition sort. "
+    "NULL sort keys follow Spark's ascending NULLS FIRST (range "
+    "partitioning and window agree); the oracle pins DuckDB — whose "
+    "default is NULLS LAST — to the same order explicitly.",
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.transforms import (

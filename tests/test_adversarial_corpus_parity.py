@@ -246,3 +246,132 @@ def test_adversarial_embeddings_parity(
         spec.fn(spark, adversarial_embeddings_dir),
         adversarial_embeddings_duck.sql(spec.oracle),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational tables — NULL keys/attrs, dangling foreign keys, negative
+# quantities/balances, empty strings (round 6). Found and fixed here:
+# nullable-boolean dtype flip (is_urgent / approx_ok — one NULL turns a
+# pandas bool column into object/float, breaking the whole column's
+# value hash → both are now COALESCEd non-null), NTILE null ordering
+# (Spark windows sort NULLS FIRST ascending, DuckDB defaults NULLS
+# LAST → oracle pins NULLS FIRST), and the relative-error approx check
+# under a negative median (abs denominator).
+
+_D = _dt.datetime
+
+
+def _relational_rows():
+    return {
+        "region": (
+            [(0, "AFRICA"), (1, "AMERICA"), (2, None)],
+            "r_regionkey int, r_name string",
+        ),
+        "nation": (
+            [(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, None, None), (3, "CHINA", 9)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+        "customer": (
+            [
+                (1, "Customer#1", 0, 100.5, "BUILDING"),
+                (2, "Customer#2", 1, -50.25, "AUTOMOBILE"),
+                (3, None, None, None, None),
+                (4, "Customer#4", 9, 0.0, "BUILDING"),
+                (5, "Customer#5", 2, 200.0, ""),
+            ],
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ),
+        "supplier": (
+            [(1, "Supplier#1", 0, 10.0), (2, None, None, None), (3, "Supplier#3", 1, -5.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        "part": (
+            [
+                (1, "part one", "Brand#1", "TYPE A", 5, 10.0),
+                (2, None, None, None, None, None),
+                (3, "promo part", "Brand#2", "PROMO X", 50, 99.99),
+            ],
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ),
+        "orders": (
+            [
+                (1, 1, "O", 1000.0, _D(1995, 1, 1), "1-URGENT"),
+                (2, 2, "F", 100000.5, _D(1996, 6, 15), "5-LOW"),
+                (3, None, None, None, None, None),
+                (4, 9, "O", 50.0, _D(1997, 3, 1), "3-MEDIUM"),
+                (5, 3, "P", 200.25, _D(1995, 12, 31), "2-HIGH"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        "lineitem": (
+            [
+                (1, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", _D(1995, 2, 1)),
+                (1, 3, 3, 2, -3.0, 50.0, 0.0, 0.0, "R", "F", _D(1995, 2, 10)),
+                (2, 2, 1, 1, None, None, None, None, None, None, None),
+                (3, 1, 2, 1, 5.0, 500.0, 0.5, 0.1, "A", "F", _D(1996, 7, 1)),
+                (4, 9, 9, 1, 7.0, 70.0, 0.07, 0.01, "N", "O", _D(1997, 3, 5)),
+                (9, 1, 1, 1, 2.0, 20.0, 0.02, 0.0, "N", "O", _D(1998, 1, 1)),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ),
+        "events": (
+            [(0, _D(2024, 1, 1), 13, "error", 185.22, '{"k": 7}')],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ),
+    }
+
+
+def _relational_query_names():
+    from etl_work_flow_for_big_data_spark.queries import load_all
+
+    return sorted(
+        n
+        for n, s in load_all().items()
+        if not any(t in s.oracle for t in ("documents", "embeddings"))
+    )
+
+
+@pytest.fixture(scope="module")
+def adversarial_relational_dir(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("adversarial_relational"))
+    for name, (rows, schema) in _relational_rows().items():
+        (
+            spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"{name}.parquet"))
+        )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def adversarial_relational_duck(adversarial_relational_dir):
+    con = duckdb.connect()
+    for name in _relational_rows():
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{adversarial_relational_dir}/{name}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _relational_query_names())
+def test_adversarial_relational_parity(
+    name, spark, adversarial_relational_dir, adversarial_relational_duck
+):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from tests.parity import compare
+
+    spec = load_all()[name]
+    compare(
+        spec.fn(spark, adversarial_relational_dir),
+        adversarial_relational_duck.sql(spec.oracle),
+    )

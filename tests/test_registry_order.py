@@ -29,6 +29,8 @@ CHANGED_R6 = [
     "sim_ivf_topk",
     "dedup_components",
     "window_ntile",
+    "scalar_string_date",
+    "agg_approx_quantile",
     "parse_kv",
     "serialize_kv",
     "serialize_json",
