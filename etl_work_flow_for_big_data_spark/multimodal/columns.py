@@ -264,6 +264,11 @@ def extract_features(df: DataFrame, id_col: str, content_col: str = "content") -
         for pdf in batches:
             feats = []
             for b in pdf["content"]:
+                # NULL payload → all-null row (same never-kill-the-task
+                # contract as decode_media; duck's md5(NULL) is NULL)
+                if b is None:
+                    feats.append(None)
+                    continue
                 h = hashlib.md5(bytes(b)).hexdigest()
                 feats.append(
                     [
@@ -276,7 +281,10 @@ def extract_features(df: DataFrame, id_col: str, content_col: str = "content") -
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["content"]],
+                        dtype="Int64",
+                    ),
                     "features": feats,
                 }
             )
@@ -300,11 +308,15 @@ def resize_media(
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [bytes(b)[::factor] for b in pdf["content"]]
+            # NULL payload → all-null row (never-kill-the-task contract)
+            resized = [None if b is None else bytes(b)[::factor] for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in pdf["content"]],
+                        dtype="Int64",
+                    ),
                     "resized": resized,
                 }
             )
@@ -327,11 +339,24 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i, b in zip(pdf["id"], pdf["content"]):
+                # NULL payload → no frames (a 1-to-N stage's natural
+                # null semantics: nothing to slice, zero output rows —
+                # matches the oracle's empty generate_series)
+                if b is None:
+                    continue
                 n = max(1, (len(b) + stride - 1) // stride)
                 for k in range(n):
                     ids.append(i)
                     idxs.append(k)
                     frames.append(bytes(b[k * stride : (k + 1) * stride]))
-            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_bytes": frames})
+            # explicit dtypes: an all-null batch yields empty lists,
+            # and empty object columns must still convert to long
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="Int64"),
+                    "frame_idx": pd.array(idxs, dtype="Int32"),
+                    "frame_bytes": frames,
+                }
+            )
 
     return src.mapInPandas(fake_frames, schema=FRAME_SCHEMA)

@@ -98,6 +98,9 @@ _CHECK_PRIORITY = [
     "window_ntile",
     "scalar_string_date",
     "agg_approx_quantile",
+    "mm_features",
+    "mm_frames",
+    "mm_resize",
     # -- events family hardened late in round 6 (total wire/JSON
     #    semantics under adversarial fixtures): fresh checks required
     "parse_kv",
@@ -108,14 +111,13 @@ _CHECK_PRIORITY = [
     "window_sliding",
     "window_session",
     # -- last hard check is round 4 (r5 spent its 50 slots on the
-    #    then-stale r3 set plus its own perf-touched queries). 24
-    #    r6-touched + 33 r4-stale = 57 candidates for 50 slots: the 7
-    #    SIMPLEST unchanged r4-green aggregates/sorts (agg_groupby,
-    #    agg_distinct, agg_conditional, agg_stats, set_union,
-    #    sort_multi, topk) defer to r7 — changed implementations
-    #    outrank stale-but-unchanged ones, and the deferred seven are
-    #    still oracle-checked at sf0.001 by tests/test_oracle_parity.py
-    #    (and on adversarial tables by
+    #    then-stale r3 set plus its own perf-touched queries). 27
+    #    r6-touched + 33 r4-stale = 60 candidates for 50 slots: the 10
+    #    SIMPLEST unchanged r4-green queries (tail below) defer to r7
+    #    and MUST lead its rotation — changed implementations outrank
+    #    stale-but-unchanged ones, and every deferred query is still
+    #    oracle-checked at sf0.001 by tests/test_oracle_parity.py (and
+    #    on adversarial tables by
     #    tests/test_adversarial_corpus_parity.py) every round.
     "join_anti",
     "join_asof",
@@ -127,10 +129,7 @@ _CHECK_PRIORITY = [
     "agg_approx_distinct",
     "agg_cube",
     "agg_rollup",
-    "agg_pivot",
-    "agg_unpivot",
     "null_handling",
-    "profile_columns",
     "subquery_exists",
     "subquery_scalar",
     "tpch_q3_shipping_priority",
@@ -143,13 +142,16 @@ _CHECK_PRIORITY = [
     "window_analytic",
     "window_range_frame",
     "window_rank",
-    # -- deferred tail (see note above): the 24 touched + 26 kept-stale
-    #    entries fill all 50 slots, so these seven defer to round 7
+    # -- deferred tail (see note above): the 27 touched + 23 kept-stale
+    #    entries fill all 50 slots, so these ten defer to round 7
     #    (they must LEAD the r7 rotation)
     "agg_groupby",
     "agg_distinct",
     "agg_conditional",
     "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "profile_columns",
     "set_union",
     "sort_multi",
     "topk",

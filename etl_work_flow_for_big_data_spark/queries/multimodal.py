@@ -82,23 +82,28 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_frames",
     """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id AS id,
            CAST(k AS INT) AS frame_idx,
-           CAST(octet_length(encode(substring(text, CAST(k*64+1 AS BIGINT), 64)))
+           CAST(length(substring(hx, CAST(k*128+1 AS BIGINT), 128)) / 2
                 AS BIGINT)                                        AS n_frame_bytes,
-           md5(substring(text, CAST(k*64+1 AS BIGINT), 64))       AS frame_hash
-    FROM documents,
+           md5(substring(hx, CAST(k*128+1 AS BIGINT), 128))       AS frame_hash
+    FROM h,
          unnest(generate_series(
              0,
-             GREATEST(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1) - 1
+             GREATEST(CAST(ceil(nb / 64.0) AS BIGINT), 1) - 1
          )) AS t(k)
     ORDER BY id, frame_idx
     """,
     doc="I5 frame sampling (video-decode twin): 1-to-N mapInPandas over "
     "Arrow batches, one row per 64-byte 'frame'; projected to "
-    "length+md5 so the Python stage is hash-oracle-checked. The oracle "
-    "slices characters — byte-identical because the fixture corpus is "
-    "ASCII; a real video payload has no SQL oracle (rows-only).",
+    "length+md5 so the Python stage is hash-oracle-checked. Both sides "
+    "hash the frame's HEX encoding: hex is the byte-true view both "
+    "engines can slice (DuckDB has no BLOB substring/md5, and slicing "
+    "characters diverges the moment a multibyte payload splits across "
+    "a frame boundary). NULL-text docs have no frames on either side.",
 )
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_binary(load_table(spark, sf_dir, "documents"), "text")
@@ -107,7 +112,8 @@ def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "frame_idx",
         F.octet_length("frame_bytes").cast("bigint").alias("n_frame_bytes"),
-        F.md5("frame_bytes").alias("frame_hash"),
+        # md5 over the hex view — byte-true on both engines (see oracle)
+        F.md5(F.hex("frame_bytes")).alias("frame_hash"),
     )
 
 
@@ -194,20 +200,25 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_resize",
     """
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb
+               FROM documents)
     SELECT doc_id AS id,
-           CAST(octet_length(encode(text)) AS BIGINT)              AS n_bytes,
-           CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT)  AS n_resized,
-           md5(array_to_string(list_transform(
-               range(0, CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT)),
-               __i -> substring(text, CAST(__i * 4 + 1 AS BIGINT), 1)), ''))
-                                                                   AS resized_hash
-    FROM documents
+           CAST(nb AS BIGINT)                      AS n_bytes,
+           CAST(ceil(nb / 4.0) AS BIGINT)          AS n_resized,
+           CASE WHEN hx IS NULL THEN NULL
+                ELSE md5(COALESCE(array_to_string(list_transform(
+                    range(0, CAST(ceil(nb / 4.0) AS BIGINT)),
+                    __i -> substring(hx, CAST(__i * 8 + 1 AS BIGINT), 2)), ''), ''))
+           END                                     AS resized_hash
+    FROM h
     """,
     doc="I5 resize (image-downsample twin): keep every 4th byte via a "
-    "1-to-1 binary mapInPandas stage; projected to length + md5 so "
-    "the Python stage is hash-oracle-checked (char stride == byte "
-    "stride on the ASCII fixture corpus; a real image payload has no "
-    "SQL oracle).",
+    "1-to-1 binary mapInPandas stage; projected to length + md5 over "
+    "the HEX view — byte-true on any payload (char-striding diverges "
+    "on multibyte text, and DuckDB has no BLOB substring/md5). The "
+    "empty payload resizes to an empty blob (md5 of ''), a NULL "
+    "payload to NULL — both mirrored.",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.multimodal.columns import resize_media
@@ -218,5 +229,6 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         "n_bytes",
         F.octet_length("resized").cast("bigint").alias("n_resized"),
-        F.md5("resized").alias("resized_hash"),
+        # md5 over the hex view — byte-true on both engines (see oracle)
+        F.md5(F.hex("resized")).alias("resized_hash"),
     )

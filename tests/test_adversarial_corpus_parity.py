@@ -31,10 +31,24 @@ ADVERSARIAL_DOCS = [
     (7, "a\tb\nc d e f g h i j k l", "en", "webz", 23),
     (8, "tok " * 2000, "en", "webz", 8000),
     (9, "tok " * 2000 + "tail", "en", "webz", 8004),
+    # multibyte payload spanning several 64-byte frames: 東 is 3 bytes,
+    # so the frame boundary splits a character — pins the hex-view
+    # (byte-true) frame/resize hashing against char-based slicing
+    (10, "東" * 50 + " tail words here", "ja", "webz", 166),
 ]
 
 #: every registered query that reads ONLY the documents table
 TEXT_FAMILY = [
+    "mm_binary_meta",
+    "mm_decode",
+    "mm_features",
+    "mm_frames",
+    "mm_resize",
+    "split_assign",
+    "pack_sequences",
+    "mix_weighted",
+    "text_tokens",
+    "text_token_regex",
     "text_quality",
     "text_lang_id",
     "text_tokens",

@@ -31,6 +31,9 @@ CHANGED_R6 = [
     "window_ntile",
     "scalar_string_date",
     "agg_approx_quantile",
+    "mm_features",
+    "mm_frames",
+    "mm_resize",
     "parse_kv",
     "serialize_kv",
     "serialize_json",
