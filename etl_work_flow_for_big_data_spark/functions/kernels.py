@@ -47,16 +47,28 @@ def _fold_norm_sq(A: np.ndarray) -> np.ndarray:
     return acc
 
 
-def _as_matrix(col: pd.Series) -> np.ndarray:
+def _as_matrix(col: pd.Series, dim: int | None = None) -> np.ndarray:
     """Batch of array rows → (n, dim) float64 matrix, TOTAL on any
     input: a NULL or wrong-dimension row becomes an all-NaN row (its
     cosine is NaN, which every downstream prefilter rejects) instead
     of a task-killing ragged-array ValueError — at 100 TB one null
-    embedding must not abort the job. dim is taken from the first
-    well-formed row; an all-degenerate batch yields a (n, 0) matrix
-    whose scores are empty."""
+    embedding must not abort the job.
+
+    ``dim`` is the expected width when the caller knows it (the
+    broadcast corpus width, or the paired block's width) — always pass
+    it when available. When absent it is inferred as the MODAL
+    well-formed row length of the batch (ties → larger), never the
+    first row's: a single corrupted row that happens to lead a batch
+    must not blank every good row behind it (or truncate the fold).
+    An all-degenerate batch yields an (n, 0) matrix whose scores are
+    empty."""
     rows = [None if v is None else np.asarray(v, dtype=np.float64) for v in col]
-    dim = next((len(r) for r in rows if r is not None), 0)
+    if dim is None:
+        counts: dict[int, int] = {}
+        for r in rows:
+            if r is not None:
+                counts[len(r)] = counts.get(len(r), 0) + 1
+        dim = max(counts, key=lambda w: (counts[w], w)) if counts else 0
     out = np.full((len(rows), dim), np.nan, dtype=np.float64)
     for i, r in enumerate(rows):
         if r is not None and len(r) == dim:
@@ -134,7 +146,9 @@ def pairwise_cosine(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = _as_matrix(pdf["v"])
+            # force the corpus width: rows of any other dimension are
+            # degenerate by contract (NaN'd), never dim-setting
+            A = _as_matrix(pdf["v"], corpus_mat.shape[1])
             ids = pdf["d1"].to_numpy(dtype=np.int64)
             yield _score_block(
                 ids, A, corpus_ids, corpus_mat, corpus_norms, mode, prefilter

@@ -187,7 +187,10 @@ def cosine_pairs(
         outs = []
         for lo in range(0, len(left), chunk):
             sl = left.iloc[lo : lo + chunk]
-            A = _as_matrix(sl["pv"])
+            # both sides are the same corpus: force the y block's
+            # (modal) width so the fold never truncates or IndexErrors
+            # when a corrupted row leads an x chunk
+            A = _as_matrix(sl["pv"], B.shape[1])
             ids_a = sl["pid"].to_numpy(dtype=np.int64)
             outs.append(
                 _score_block(ids_a, A, ids_b, B, norms_b, "pairs", prefilter)

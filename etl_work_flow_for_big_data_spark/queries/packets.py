@@ -331,19 +331,32 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "parse_json",
     """
+    WITH j AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN trim(json_extract_string(props, '$.k'),
+                            ' ' || chr(9) || chr(10) || chr(13)) END AS ks
+      FROM events
+    )
     SELECT event_id,
-           TRY_CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.k') END AS INT) AS k,
-           TRY_CAST(CASE WHEN json_valid(props)
-                         THEN json_extract_string(props, '$.k') END AS INT) AS k_via_path
-    FROM events
+           TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                         THEN ks END AS INT) AS k,
+           TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+                         THEN ks END AS INT) AS k_via_path
+    FROM j
     ORDER BY event_id
     """,
     doc="B1/I6 JSON extraction: from_json with schema + get_json_object "
     "path access over events.props. Total on any fixture: malformed "
     "JSON parses to NULL (from_json is lenient; duck json_extract "
     "ERRORS without the json_valid guard) and a non-numeric k is "
-    "try_cast → NULL on both sides instead of an ANSI cast error.",
+    "try_cast → NULL on both sides instead of an ANSI cast error. The "
+    "oracle gates its cast behind trim + an integer regex because the "
+    "engines' raw string→int coercions genuinely differ — duck "
+    "TRY_CAST('12.5') rounds to 13 and accepts '1e2'/'0x1A'/'.5' where "
+    "Spark try_cast yields NULL; the gated form matched Spark on a "
+    "17-case probe (signs, whitespace, fractions, scientific, hex, "
+    "overflow, unicode digits).",
 )
 def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -365,22 +378,19 @@ def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            '{"event_id":' || event_id ||
            CASE WHEN event_type IS NULL THEN ''
-                ELSE ',"event_type":"' ||
-                     replace(replace(replace(replace(replace(event_type,
-                       chr(92), chr(92) || chr(92)),
-                       '"', chr(92) || '"'),
-                       chr(10), chr(92) || 'n'),
-                       chr(9), chr(92) || 't'),
-                       chr(13), chr(92) || 'r') || '"'
+                ELSE ',"event_type":' || to_json(event_type)
            END || '}' AS js
     FROM events
     ORDER BY event_id
     """,
-    doc="B2 JSON serialization: to_json(struct(...)) — oracle builds the "
-    "compact-JSON string by hand, mirroring to_json's two non-obvious "
-    "behaviors: NULL fields are OMITTED (not emitted as null), and "
-    'string values are JSON-escaped (backslash first, then ", \\n, '
-    "\\t, \\r).",
+    doc="B2 JSON serialization: to_json(struct(...)) — the oracle "
+    "mirrors Spark's null-field OMISSION by hand (duck to_json emits "
+    "null fields) but delegates string escaping to duck's to_json, "
+    "which matched Spark's Jackson escaping on a 14-case probe "
+    '(backslash, quote, \\n \\t \\r \\b \\f, \\u00XX control chars '
+    "with UPPERCASE hex, raw DEL, multibyte) — a hand replace-chain "
+    "covering only the popular five silently diverges on \\b/\\f/"
+    "\\u0001-class bytes.",
 )
 def serialize_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

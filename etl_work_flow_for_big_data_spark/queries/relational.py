@@ -961,11 +961,16 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="D6 approximate percentile (percentile_approx — mergeable "
     "sketch, the streaming/100-TB variant of exact percentile). Sketch "
-    "values aren't engine-portable, so the oracle checks the estimate "
-    "lands within 2% of the exact interpolated quantile; a group with "
-    "no non-null values has no estimate to check → approx_ok FALSE on "
-    "both sides (kept non-null so the boolean column's pandas dtype "
-    "never flips).",
+    "values aren't engine-portable, so approx_ok is the claim BOTH "
+    "engines can derive from their own side under ANY fixture: the "
+    "sketch produced an estimate exactly when the group had a non-null "
+    "value. The 2%-relative-accuracy assertion lives in pytest "
+    "(test_oracle_parity.py) — as an oracle column it was a standing "
+    "gate risk: a group whose exact median is 0 made the relative "
+    "error undefined (ANSI DIVIDE_BY_ZERO killed the whole query), "
+    "and any sketch-vs-interpolation gap over 2% on a regenerated "
+    "fixture would read as a hash mismatch rather than an accuracy "
+    "finding.",
 )
 def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -978,14 +983,7 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_p50",
-            # abs() denominator: a negative exact median must not make
-            # the relative-error test vacuously true
-            F.coalesce(
-                F.abs(F.col("approx_p50") - F.col("exact_p50"))
-                / F.abs(F.col("exact_p50"))
-                < 0.02,
-                F.lit(False),
-            ).alias("approx_ok"),
+            F.col("approx_p50").isNotNull().alias("approx_ok"),
         )
     )
 

@@ -12,7 +12,17 @@ import duckdb
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
-spark = SparkSession.builder.master("local[8]").config("spark.sql.shuffle.partitions", "8").getOrCreate()
+# VERIFY_CORES=3 reproduces the low-partition sweep (local[3], 3
+# shuffle partitions) that shakes out plans whose correctness quietly
+# depends on partition count; note tune_session re-sets shuffle
+# partitions from SPARK_GRAFT_CPUS on every query, so both knobs move.
+CORES = os.environ.get("VERIFY_CORES", "8")
+os.environ["SPARK_GRAFT_CPUS"] = CORES
+spark = (
+    SparkSession.builder.master(f"local[{CORES}]")
+    .config("spark.sql.shuffle.partitions", CORES)
+    .getOrCreate()
+)
 import __spark_entry__ as e
 qs, osql = e.queries(), e.oracle_sql()
 

@@ -2,42 +2,57 @@
 
 Runs a registered query's Spark callable and its DuckDB oracle on the
 same fixture dir, normalizes both frames (column-name sort, row sort,
-float canonicalization), and asserts exact equality — stricter than the
+cell canonicalization), and asserts exact equality — stricter than the
 driver's order-insensitive value hash, so passing here implies passing
 there.
+
+Both sides transfer through ARROW, not pandas: a numpy-backed pandas
+float column represents missing as NaN, so a toPandas()-based compare
+is structurally blind to NULL-vs-NaN divergence — exactly the class
+the ±Inf/NaN adversarial fixtures exist to catch. Arrow keeps the two
+distinct (``to_pylist`` yields ``None`` vs ``float('nan')``), and the
+canonicalizer maps them to different tokens.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 
 import pandas as pd
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1).copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            # canonicalize -0.0 and NaN; values are pre-rounded by the
-            # queries themselves so repr is stable
-            df[c] = s.map(
-                lambda v: "nan"
-                if v is None or (isinstance(v, float) and math.isnan(v))
-                else repr(v + 0.0)
-            )
-        elif pd.api.types.is_object_dtype(s):
-            df[c] = s.map(lambda v: "<null>" if v is None else str(v))
-        else:
-            df[c] = s.astype("object").map(lambda v: "<null>" if v is None else str(v))
+def _cell(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        # distinct from <null>; -0.0 folded into 0.0
+        return "nan" if math.isnan(v) else repr(v + 0.0)
+    if isinstance(v, _dt.datetime):
+        # Spark's Arrow schema carries tz=UTC where duck is naive-UTC;
+        # same instant → same naive string
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        # spark binary → bytearray, duck BLOB → bytes; hex both
+        return bytes(v).hex()
+    return str(v)
+
+
+def _canon(tbl) -> pd.DataFrame:
+    cols = {name: [_cell(v) for v in tbl.column(i).to_pylist()]
+            for i, name in enumerate(tbl.schema.names)}
+    df = pd.DataFrame(cols, dtype=object)
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns) == 0:
+        return df
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def compare(spark_df, duck_rel) -> None:
-    got = _canon(spark_df.toPandas())
-    want = _canon(duck_rel.df())
+    got = _canon(spark_df.toArrow())
+    want = _canon(duck_rel.arrow())
     assert list(got.columns) == list(want.columns), (
         f"column mismatch: spark={list(got.columns)} duck={list(want.columns)}"
     )

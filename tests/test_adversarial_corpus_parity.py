@@ -51,11 +51,9 @@ TEXT_FAMILY = [
     "text_token_regex",
     "text_quality",
     "text_lang_id",
-    "text_tokens",
     "text_fingerprint",
     "text_chunk",
     "text_scrub",
-    "text_token_regex",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
@@ -121,6 +119,15 @@ ADVERSARIAL_EVENTS = [
     (7, _TS, 25, "", 100000.5, "{}"),
     (8, _TS, 31, 'q"uo\\te\tx', float("nan"), '{"k": "12"}'),
     (9, _TS, 33, "ok", float("inf"), '{"k": "abc"}'),
+    # round-6 review additions: \b/\f/raw-control bytes exercise the
+    # full Jackson escape set (a hand replace-chain oracle covering
+    # only \\ " \n \t \r diverged here), and fractional / scientific /
+    # whitespace-wrapped k pin the integer-shape cast gate (duck
+    # TRY_CAST rounds '12.5'→13 and accepts '1e2' where Spark
+    # try_cast yields NULL).
+    (10, _TS, 41, "b\x08f\x0cc\x01d\x1f", 1.0, '{"k": 12.5}'),
+    (11, _TS, 43, "del\x7f\x00nul", 2.0, '{"k": "1e2"}'),
+    (12, _TS, 47, "ok2", 3.0, '{"k": " 12 "}'),
 ]
 
 #: registered queries that read ONLY the events table
@@ -269,8 +276,10 @@ def test_adversarial_embeddings_parity(
 # pandas bool column into object/float, breaking the whole column's
 # value hash → both are now COALESCEd non-null), NTILE null ordering
 # (Spark windows sort NULLS FIRST ascending, DuckDB defaults NULLS
-# LAST → oracle pins NULLS FIRST), and the relative-error approx check
-# under a negative median (abs denominator).
+# LAST → oracle pins NULLS FIRST), and the approx-quantile check
+# (relative error is undefined at a zero median — ANSI DIVIDE_BY_ZERO
+# — so approx_ok is now the estimate-present claim both engines can
+# derive, with the 2% accuracy assertion in test_oracle_parity.py).
 
 _D = _dt.datetime
 

@@ -199,3 +199,52 @@ def test_multiprobe_recall_superset(spark):
     m = {(r["q_vec_id"], r["c_vec_id"]) for r in multi.collect()}
     assert s <= m
     assert len(m) > len(s)  # probing actually widened the net
+
+
+def test_ragged_leading_row_cannot_hijack_batch_dim(spark):
+    """A corrupted (wrong-dimension) row must only degrade ITSELF.
+
+    _as_matrix used to take the batch width from the first well-formed
+    row, so a short row leading an Arrow batch NaN-blanked every good
+    row behind it (silently dropping the whole batch's pairs) and a
+    long one could IndexError the fold. The width now comes from the
+    caller's expected dim (broadcast corpus / paired block) or, absent
+    that, the batch's modal length — either way the single ragged row
+    becomes the NaN row, never the dim-setter. coalesce(1) forces all
+    rows into ONE batch with the ragged row first (ids ascending), the
+    exact hijack layout."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),  # ragged: corpus is 2-dim
+        (1, [1.0, 1.0]),
+        (2, [1.0, 0.9]),
+        (3, [7.0]* 9),         # ragged long: must not IndexError the fold
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+
+    got = {
+        (r["d1"], r["d2"]): r["cos_sim"]
+        for r in cosine_pairs(df, "vec_id", "embedding", 0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert not any(0 in p or 3 in p for p in got)
+
+    from etl_work_flow_for_big_data_spark.functions.kernels import (
+        pairwise_cosine,
+    )
+
+    corpus = [(1, [1.0, 1.0]), (2, [1.0, 0.9])]
+    raw = pairwise_cosine(df, "vec_id", "embedding", corpus, mode="pairs").collect()
+    assert {(r["d1"], r["d2"]) for r in raw} == {(1, 2)}
+
+    # modal inference (no expected dim): ties break toward the larger
+    # width, deterministically — row order must not matter
+    import pandas as pd
+
+    from etl_work_flow_for_big_data_spark.functions.kernels import _as_matrix
+
+    m = _as_matrix(pd.Series([[1.0, 2.0, 3.0], [4.0, 5.0], [6.0, 7.0]]))
+    assert m.shape == (3, 2)
+    t = _as_matrix(pd.Series([[1.0], [2.0, 3.0]]))
+    assert t.shape == (2, 2)
