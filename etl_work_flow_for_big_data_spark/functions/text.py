@@ -200,9 +200,28 @@ def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
 
 
+#: ASCII case-fold alphabet for translate() — see normalize_text
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(text: Column) -> Column:
-    """lower + whitespace collapse + trim (fingerprint canonical form)."""
-    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    """ASCII case-fold + whitespace collapse + trim (the fingerprint
+    canonical form). Folds via per-char ``translate``, NOT ``lower()``:
+    Spark lowercases with the full Unicode mapping (İ → i+U+0307,
+    context-sensitive final sigma in ΣΑΣ) while DuckDB applies the
+    simple per-codepoint mapping (İ → i), so a ``lower()``-based
+    fingerprint diverges on such text — found by the seeded fuzz
+    sweep (seed 60002, a document containing İ). ``translate`` is
+    per-character in both engines, and ASCII-only folding is the
+    documented canonical form: non-ASCII case variants hash as
+    distinct documents, identically everywhere.
+
+    DuckDB mirror: ``translate(text, 'A..Z', 'a..z')`` (same 26-char
+    alphabets)."""
+    return F.trim(
+        F.regexp_replace(F.translate(text, _AZ_UPPER, _AZ_LOWER), r"\s+", " ")
+    )
 
 
 def fingerprint(text: Column) -> Column:

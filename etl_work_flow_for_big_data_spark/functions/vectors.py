@@ -33,8 +33,16 @@ def norm_sq(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity = dot / sqrt(|a|²·|b|²)."""
-    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+    """Cosine similarity = dot / sqrt(|a|²·|b|²), TOTAL: a zero-norm
+    side yields NULL instead of an ANSI DIVIDE_BY_ZERO that kills the
+    task — under Spark 4's ANSI default a plain ``/`` made one zero
+    vector landing in an LSH bucket abort the whole query (found by
+    the seeded fuzz sweep). ``try_divide`` exactly mirrors DuckDB,
+    whose double division by zero is natively NULL (x/0.0 → NULL,
+    0.0/0.0 → NULL — probed, not assumed), so the unfiltered
+    pure-Catalyst paths stay engine-identical; NaN components still
+    propagate NaN on both engines and sort as greatest on both."""
+    return F.try_divide(dot(a, b), F.sqrt(norm_sq(a) * norm_sq(b)))
 
 
 def is_valid_embedding(a: Column) -> Column:

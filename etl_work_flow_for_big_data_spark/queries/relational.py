@@ -540,15 +540,21 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey,
            o_orderkey,
            ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
+                                         ORDER BY o_orderdate NULLS FIRST, o_orderkey
                                          ROWS UNBOUNDED PRECEDING), 2) AS running_total,
            ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_price,
            ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
     ORDER BY o_custkey, o_orderkey
     """,
-    doc="E2 analytic window functions: lag/lead/running sum",
+    doc="E2 analytic window functions: lag/lead/running sum. The oracle "
+    "pins NULLS FIRST on the nullable date key: Spark orders ascending "
+    "NULLS FIRST while DuckDB defaults NULLS LAST in BOTH directions, "
+    "so an unpinned ascending sort diverges the moment a fixture "
+    "carries a NULL order date (descending sorts agree — both engines "
+    "put nulls last there, which is why window_rank needs no pin). "
+    "Found by the seeded fuzz sweep (scripts/fuzz_parity.py).",
 )
 def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -187,7 +187,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     f"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS fp,
            list_min(list_transform({_DUCK_SHINGLES}, __s -> md5(__s))) AS min_shingle_fp
     FROM documents
     ORDER BY doc_id
@@ -231,7 +231,7 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact",
     """
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+    SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g'))) AS text_hash,
            CAST(MIN(doc_id) AS BIGINT)  AS keeper_id,
            CAST(COUNT(*) AS BIGINT)     AS n_copies
     FROM documents
@@ -476,7 +476,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
       SELECT MIN(doc_id) AS doc_id
-      FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      FROM q GROUP BY md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+', ' ', 'g')))
     ),
     u AS (SELECT q.* FROM q JOIN k USING (doc_id)),
     {_duck_rare_shingle_index("u")},
@@ -661,8 +661,14 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="I4/B8 string-similarity scalar: levenshtein distance between "
     "neighboring customer names — the short-string near-dup metric "
     "(shingle Jaccard degenerates below ~k tokens). Narrow per-pair "
-    "expression after an equi-join; both engines implement the same "
-    "Wagner-Fischer distance.",
+    "expression after an equi-join. The registered metric is pinned at "
+    "the BYTE level: DuckDB's levenshtein runs its Wagner-Fischer DP "
+    "over UTF-8 bytes while Spark's runs over codepoints (東→x is 1 "
+    "edit in Spark, 3 in duck — found by the seeded fuzz sweep), so "
+    "the Spark side round-trips through encode/decode(ISO-8859-1), "
+    "whose chars are exactly the UTF-8 bytes. Identical to codepoint "
+    "distance on ASCII names; Spark-native codepoint levenshtein "
+    "remains available to library callers as F.levenshtein.",
 )
 def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
@@ -674,10 +680,16 @@ def text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("b_key"),
         F.col("c_name").alias("b_name"),
     )
+
+    def _bytes_as_chars(col: str):  # UTF-8 bytes, one Latin-1 char each
+        return F.decode(F.encode(F.col(col), "UTF-8"), "ISO-8859-1")
+
     return p.join(q, "a_key").select(
         "a_key",
         "b_key",
-        F.levenshtein("a_name", "b_name").cast("int").alias("edit_dist"),
+        F.levenshtein(_bytes_as_chars("a_name"), _bytes_as_chars("b_name"))
+        .cast("int")
+        .alias("edit_dist"),
     )
 
 

@@ -1,0 +1,237 @@
+"""Seeded cross-engine fuzz: random fixture tables → full family
+parity sweep per trial.
+
+The driver regenerates every fixture between rounds, so the real
+robustness question is "does the oracle contract hold on tables we
+have never seen?". The adversarial fixtures pin the shapes already
+found divergent; this script samples NEW shapes: random unicode /
+control-char / empty / NULL strings, ±Inf/NaN/huge/-0.0 doubles,
+negative and NULL keys, dangling foreign keys, malformed and
+fractional JSON, degenerate embeddings. Each trial is fully
+deterministic from its seed — a failure report names the seed, so any
+divergence is replayable.
+
+Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
+Writes parquet under /tmp, never touches /root/testdata.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import duckdb  # noqa: E402
+
+_CTRL = ["\x00", "\x01", "\x08", "\x0c", "\x1f", "\x7f", "\t", "\n", "\r"]
+_WORDS = ["alpha", "beta", "gamma", "東京", "naïve", "s=v", "p|q", '"q"', "\\esc", ""]
+
+
+def _rand_text(rng: random.Random, allow_null: bool = True) -> str | None:
+    roll = rng.random()
+    if allow_null and roll < 0.08:
+        return None
+    n = rng.randrange(0, 12)
+    parts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.15:
+            parts.append(rng.choice(_CTRL))
+        elif r < 0.3:
+            parts.append(chr(rng.randrange(0x20, 0x2FF)))
+        else:
+            parts.append(rng.choice(_WORDS))
+    return " ".join(parts) if rng.random() < 0.5 else "".join(parts)
+
+
+def _rand_double(rng: random.Random) -> float | None:
+    """NULL/NaN/±Inf/-0.0 probe totality; finite values keep the
+    fixtures' 2-DECIMAL contract (verified against the generated
+    parquet: every fixture numeric is a 2-dec value). A sum of 2-dec
+    doubles never lands near a ROUND(x, 2) half boundary, so Spark's
+    BigDecimal-HALF_UP and duck's rescale rounding agree; fuzzing
+    6-dec values manufactures the inherent-FP divergence the fixture
+    contract excludes (seed 60006 hit SUM = 29294.685 exactly —
+    Spark 29294.68, duck 29294.69). ±1e308 finites are also out:
+    two of them in one SUM group overflow order-dependently
+    ((h+h)-h = inf but (h-h)+h = h), while ±Inf mixes are safe — any
+    accumulation order reaches the same NaN/±Inf because NaN is
+    sticky and finite addends never un-saturate an infinity."""
+    roll = rng.random()
+    if roll < 0.08:
+        return None
+    if roll < 0.12:
+        return float("nan")
+    if roll < 0.16:
+        return float("inf") if rng.random() < 0.5 else float("-inf")
+    if roll < 0.20:
+        return rng.choice([0.0, -0.0, 1e-300])
+    return round(rng.uniform(-1e5, 1e5), 2)
+
+
+def _rand_props(rng: random.Random) -> str | None:
+    roll = rng.random()
+    if roll < 0.1:
+        return None
+    if roll < 0.2:
+        return rng.choice(["not json", "{", "[1,2", "", "nul\x00l", "{]"])
+    k = rng.choice(
+        ["7", "-12", "0", "12.5", '"12"', '"1e2"', '" 42 "', '"abc"',
+         "null", "1e2", "true", '"0x1A"', "99999999999999"]
+    )
+    return "{\"k\": %s}" % k
+
+
+def _rand_ts(rng: random.Random) -> dt.datetime | None:
+    if rng.random() < 0.08:
+        return None
+    base = dt.datetime(2024, 1, 1)
+    return base + dt.timedelta(seconds=rng.randrange(0, 90 * 86400), microseconds=rng.choice([0, 0, 123456]))
+
+
+def gen_tables(rng: random.Random) -> dict[str, tuple[list, str]]:
+    n_ev = rng.randrange(8, 40)
+    events = [
+        (i, _rand_ts(rng), rng.choice([None, rng.randrange(-50, 50), rng.randrange(0, 9_007_199_254_740_993)]),
+         _rand_text(rng), _rand_double(rng), _rand_props(rng))
+        for i in range(n_ev)
+    ]
+    n_doc = rng.randrange(6, 30)
+    docs = []
+    for i in range(n_doc):
+        text = _rand_text(rng)
+        docs.append(
+            (i, text, rng.choice(["en", "xx", None, ""]),
+             rng.choice(["web", "books", "code", None]),
+             None if text is None else len(text))
+        )
+    # force a couple of exact duplicates so the dedup family is non-vacuous
+    if n_doc >= 4 and docs[0][1] is not None:
+        docs[1] = (1,) + docs[0][1:]
+    dim = 64  # the fixture contract (TESTDATA.md) — LSH planes assume it
+    embs = []
+    for i in range(rng.randrange(6, 25)):
+        roll = rng.random()
+        if roll < 0.08:
+            v = None
+        elif roll < 0.14:
+            v = [0.0] * dim
+        elif roll < 0.2:
+            v = [float("nan")] * dim
+        else:
+            v = [round(rng.uniform(-1, 1), 4) for _ in range(dim)]
+        embs.append((i, v, rng.choice(["a", "b", None])))
+    n_cust = rng.randrange(3, 10)
+    cust = [
+        (i, _rand_text(rng), rng.choice([None, rng.randrange(0, 6)]),
+         _rand_double(rng), rng.choice(["BUILDING", "AUTOMOBILE", "", None]))
+        for i in range(1, n_cust + 1)
+    ]
+    n_ord = rng.randrange(4, 16)
+    orders = [
+        (i, rng.choice([None, rng.randrange(0, n_cust + 4)]),
+         rng.choice(["O", "F", "P", None]), _rand_double(rng), _rand_ts(rng),
+         rng.choice(["1-URGENT", "5-LOW", "3-MEDIUM", "2-HIGH", None, ""]))
+        for i in range(1, n_ord + 1)
+    ]
+    li = []
+    for i in range(rng.randrange(6, 30)):
+        li.append(
+            (rng.randrange(1, n_ord + 3), rng.randrange(1, 6), rng.randrange(1, 5),
+             i + 1,
+             rng.choice([None, round(rng.uniform(-10, 60), 1)]),
+             rng.choice([None, round(rng.uniform(-100, 5000), 2)]),
+             rng.choice([None, round(rng.uniform(0, 0.6), 2)]),
+             rng.choice([None, round(rng.uniform(0, 0.2), 2)]),
+             rng.choice(["N", "R", "A", None]),
+             rng.choice(["O", "F", None]),
+             _rand_ts(rng))
+        )
+    return {
+        "events": (events, "event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"),
+        "documents": (docs, "doc_id long, text string, lang string, "
+                      "source string, n_chars long"),
+        "embeddings": (embs, "vec_id long, embedding array<float>, label string"),
+        "customer": (cust, "c_custkey long, c_name string, c_nationkey int, "
+                     "c_acctbal double, c_mktsegment string"),
+        "orders": (orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+                   "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (li, "l_orderkey long, l_partkey long, l_suppkey long, "
+                     "l_linenumber int, l_quantity double, l_extendedprice double, "
+                     "l_discount double, l_tax double, l_returnflag string, "
+                     "l_linestatus string, l_shipdate timestamp"),
+        "region": ([(0, "AFRICA"), (1, "AMERICA"), (2, None)],
+                   "r_regionkey int, r_name string"),
+        "nation": ([(0, "ALGERIA", 0), (1, "BRAZIL", 1), (2, None, None), (3, "CHINA", 9)],
+                   "n_nationkey int, n_name string, n_regionkey int"),
+        "supplier": ([(1, "Supplier#1", 0, 10.0), (2, None, None, None),
+                      (3, "Supplier#3", 1, -5.0), (4, "Supplier#4", 2, 0.0)],
+                     "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"),
+        "part": ([(1, "part one", "Brand#1", "TYPE A", 5, 10.0),
+                  (2, None, None, None, None, None),
+                  (3, "promo part", "Brand#2", "PROMO X", 50, 99.99)],
+                 "p_partkey long, p_name string, p_brand string, p_type string, "
+                 "p_size int, p_retailprice double"),
+    }
+
+
+def main() -> None:
+    # argv parsed here, not at module level: tests/test_fuzz_parity.py
+    # imports gen_tables and must not see pytest's argv
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 60001
+
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from etl_work_flow_for_big_data_spark.session import get_spark
+    from parity import compare
+
+    spark = get_spark("fuzz-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    failures: list[tuple[int, str, str]] = []
+
+    for trial in range(n_trials):
+        seed = base_seed + trial
+        rng = random.Random(seed)
+        tables = gen_tables(rng)
+        tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
+        try:
+            for name, (rows, schema) in tables.items():
+                (spark.createDataFrame(rows, schema).coalesce(1)
+                 .write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet")))
+            con = duckdb.connect()
+            for name in tables:
+                con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
+                        f"read_parquet('{tmp}/{name}.parquet/*.parquet')")
+            n_ok = 0
+            for qname, spec in registry.items():
+                try:
+                    compare(spec.fn(spark, tmp), con.sql(spec.oracle))
+                    n_ok += 1
+                except AssertionError as ex:
+                    failures.append((seed, qname, str(ex)[:300]))
+                    print(f"seed={seed} {qname}: DIVERGE {str(ex)[:160]}", flush=True)
+                except Exception as ex:  # noqa: BLE001 — report, keep fuzzing
+                    failures.append((seed, qname, f"{type(ex).__name__}: {ex}"[:300]))
+                    print(f"seed={seed} {qname}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
+            con.close()
+            print(f"trial seed={seed}: {n_ok}/{len(registry)} ok", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    print(f"\n{n_trials} trials, {len(failures)} failures")
+    if failures:
+        for seed, q, msg in failures[:40]:
+            print(f"  seed={seed} {q}: {msg[:200]}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,13 +41,17 @@ def _cell(v) -> str:
 
 
 def _canon(tbl) -> pd.DataFrame:
-    cols = {name: [_cell(v) for v in tbl.column(i).to_pylist()]
-            for i, name in enumerate(tbl.schema.names)}
-    df = pd.DataFrame(cols, dtype=object)
-    df = df.reindex(sorted(df.columns), axis=1)
-    if len(df.columns) == 0:
-        return df
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    names = sorted(tbl.schema.names)
+    by_name = {name: [_cell(v) for v in tbl.column(i).to_pylist()]
+               for i, name in enumerate(tbl.schema.names)}
+    # row sort at the PYTHON level, not pandas sort_values: pandas'
+    # multi-key object sort goes through factorize, which is not a
+    # total order on strings containing NUL bytes — two frames holding
+    # the IDENTICAL multiset sorted into different orders (found by
+    # fuzz seed 60007, a '\x00' event_type vs ''). Tuple sort over
+    # canonical cell strings is total and deterministic.
+    rows = sorted(zip(*[by_name[n] for n in names])) if names else []
+    return pd.DataFrame(rows, columns=names, dtype=object)
 
 
 def compare(spark_df, duck_rel) -> None:

@@ -11,8 +11,8 @@ from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
 # Every query whose implementation or oracle changed in round 6 — these
 # MUST receive a fresh driver hash check, ahead of stale-but-unchanged
-# queries (r6 had 27 touched + 33 r4-stale = 60 candidates for 50
-# slots; the 10-query overflow is the deliberate deferred tail
+# queries (r6 had 30 touched + 33 r4-stale = 63 candidates for 50
+# slots; the 13-query overflow is the deliberate deferred tail
 # documented in _CHECK_PRIORITY).
 CHANGED_R6 = [
     "dedup_minhash",
@@ -42,6 +42,10 @@ CHANGED_R6 = [
     "window_tumbling",
     "window_sliding",
     "window_session",
+    "text_editdist",
+    "text_fingerprint",
+    "dedup_exact",
+    "window_analytic",
 ]
 
 
