@@ -106,6 +106,46 @@ def round4_ratio(num: Column, den: Column) -> Column:
     return (a - F.try_mod(a, b)) / b / F.lit(10000.0)
 
 
+def rounded_mean(x: Column, out_dec: int) -> Column:
+    """``ROUND(AVG(x), out_dec)`` (HALF away from zero) computed
+    integer-exactly for inputs under the fixtures' 2-DECIMAL numeric
+    contract — an AGGREGATE expression.
+
+    Why not ``F.round(F.avg(x), d)``: an average of 2-dec values over
+    a small group can land EXACTLY on a rounding half boundary (a
+    2-row group summing to -11479.45 averages to -5739.725), where
+    Spark's BigDecimal HALF_UP on the binary expansion and DuckDB's
+    rescaled-double rounding split — found by fuzz seed 61016. Fix as
+    in ``round4_ratio``: make both engines divide identical integers.
+    ``C = ROUND(SUM(x)·100)`` is cross-engine-identical because a
+    2-dec sum sits within n·ulp of an integer (never near .5); then
+    ``round(C·10^(d-2)/(100·n·10^(d-2)), d) = sign · ((2|D| + n)
+    intdiv 2n) / 10^d`` with ``D = C·10^(d-2)``, all < 2^53 through
+    SF ~1000. An all-NULL group propagates NULL (try_mod; duck's
+    ``NULL // 0`` is NULL too), and a ±Inf/NaN sum — outside the
+    fixed-point contract — is NULL on BOTH engines via try_cast
+    (an ANSI plain cast of ±Inf to BIGINT kills the task; duck's
+    TRY_CAST mirrors the NULL).
+
+    DuckDB mirror (same aliases)::
+
+        (CASE WHEN TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT) < 0
+              THEN -1 ELSE 1 END)
+        * ((2*abs(TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT))*10^(d-2)
+            + COUNT(x)) // (2*COUNT(x))) / 10^d.0
+    """
+    if out_dec < 2:
+        raise ValueError("out_dec must be >= the 2-dec input contract")
+    c = F.round(F.sum(x) * F.lit(100), 0).try_cast("long")
+    d = c * F.lit(10 ** (out_dec - 2))
+    n = F.count(x)
+    a = F.abs(d) * 2 + n
+    b = n * 2
+    q = (a - F.try_mod(a, b)) / b
+    sign = F.when(d < 0, F.lit(-1.0)).when(d >= 0, F.lit(1.0))
+    return sign * q / F.lit(float(10**out_dec))
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:
     """MinHash signature: hash function i is the lexicographic min over
     the shingle set of the i-th 4-hex-char WORD of

@@ -118,6 +118,10 @@ _CHECK_PRIORITY = [
     "text_editdist",
     "text_fingerprint",
     "dedup_exact",
+    # -- integer-exact rounded means (fuzz seed 61016: small-group
+    #    ROUND(AVG) half-boundary split)
+    "rate_charge",
+    "agg_groupby",
     # -- last hard check is round 4 (r5 spent its 50 slots on the
     #    then-stale r3 set plus its own perf-touched queries). 27
     #    r6-touched + 33 r4-stale = 60 candidates for 50 slots: the 10
@@ -129,9 +133,7 @@ _CHECK_PRIORITY = [
     #    tests/test_adversarial_corpus_parity.py) every round.
     "join_anti",
     "join_asof",
-    "join_left",
     "join_range",
-    "join_semi",
     "join_star",
     "merge_upsert",
     "agg_approx_distinct",
@@ -147,20 +149,23 @@ _CHECK_PRIORITY = [
     "tpch_q22_idle_customers",
     "window_analytic",
     "window_range_frame",
-    # -- deferred tail (see note above): the 30 touched + 20 kept-stale
-    #    entries fill all 50 slots, so these thirteen defer to round 7
-    #    (they must LEAD the r7 rotation). window_rank joined the tail
-    #    when text_editdist's byte-level pin took its slot (lowest-risk
-    #    deferral: property-pinned next to the freshly-rechecked
-    #    window_analytic, and its DESC null ordering already agrees
-    #    across engines without a pin); agg_rollup/agg_cube deferred
-    #    for the fingerprint-normalization slots (their grouping-sets
-    #    sibling agg_grouping_sets IS freshly checked, same
-    #    ROLLUP/CUBE machinery).
+    # -- deferred tail (see note above): the 32 touched + 18 kept-stale
+    #    entries fill all 50 slots, so these fourteen defer to round 7
+    #    (they must LEAD the r7 rotation). Deferral picks, lowest risk
+    #    first: window_rank (property-pinned next to the
+    #    freshly-rechecked window_analytic; its DESC null ordering
+    #    already agrees across engines without a pin),
+    #    agg_rollup/agg_cube (grouping-sets sibling agg_grouping_sets
+    #    IS freshly checked — same ROLLUP/CUBE machinery),
+    #    join_left/join_semi (plan-asserted in pytest; siblings
+    #    join_anti/join_star/join_range keep their slots). Every
+    #    deferred query is still oracle-checked at sf0.001 by
+    #    tests/test_oracle_parity.py and fuzz-swept per round.
     "window_rank",
     "agg_rollup",
     "agg_cube",
-    "agg_groupby",
+    "join_left",
+    "join_semi",
     "agg_distinct",
     "agg_conditional",
     "agg_stats",

@@ -19,8 +19,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.catalog import load_table, maybe_broadcast
+from etl_work_flow_for_big_data_spark.functions.text import rounded_mean
 from etl_work_flow_for_big_data_spark.operators.joins import asof_join, range_join
 from etl_work_flow_for_big_data_spark.queries import query
+
+
+def _duck_round_avg(expr: str, out_dec: int) -> str:
+    """DuckDB mirror of ``functions.text.rounded_mean`` (see its
+    docstring for the derivation and the 2-dec input contract)."""
+    scale = 10 ** (out_dec - 2)
+    return (
+        f"(CASE WHEN TRY_CAST(ROUND(SUM({expr})*100, 0) AS BIGINT) < 0 "
+        f"THEN -1 ELSE 1 END) * "
+        f"((2*abs(TRY_CAST(ROUND(SUM({expr})*100, 0) AS BIGINT))*{scale} "
+        f"+ COUNT({expr})) // (2*COUNT({expr}))) / {10**out_dec}.0"
+    )
 
 # --------------------------------------------------------------------
 # B9 — flagship rating query (the PySpark analog of what the
@@ -34,7 +47,7 @@ from etl_work_flow_for_big_data_spark.queries import query
 
 @query(
     "rate_charge",
-    """
+    f"""
     SELECT
       l_returnflag,
       l_linestatus,
@@ -42,16 +55,21 @@ from etl_work_flow_for_big_data_spark.queries import query
       ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-      ROUND(AVG(l_quantity), 2)                                       AS avg_qty,
-      ROUND(AVG(l_extendedprice), 2)                                  AS avg_price,
-      ROUND(AVG(l_discount), 4)                                       AS avg_disc,
+      {_duck_round_avg("l_quantity", 2)}                              AS avg_qty,
+      {_duck_round_avg("l_extendedprice", 2)}                         AS avg_price,
+      {_duck_round_avg("l_discount", 4)}                              AS avg_disc,
       CAST(COUNT(*) AS BIGINT)                                        AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="B9 rating arithmetic — domain of gsmrating.sh:14; TPC-H Q1 shape",
+    doc="B9 rating arithmetic — domain of gsmrating.sh:14; TPC-H Q1 "
+    "shape. The averages round via integer-exact fixed-point "
+    "(rounded_mean) because an average of 2-dec values can land "
+    "exactly on a rounding half boundary where the engines' rules "
+    "split; the SUM rounds stay plain — a 2-dec sum never nears a "
+    "2-dec half boundary.",
 )
 def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -65,9 +83,9 @@ def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            rounded_mean(F.col("l_quantity"), 2).alias("avg_qty"),
+            rounded_mean(F.col("l_extendedprice"), 2).alias("avg_price"),
+            rounded_mean(F.col("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -315,18 +333,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_groupby",
-    """
+    f"""
     SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT)     AS n_orders,
-           ROUND(SUM(o_totalprice), 2)  AS sum_price,
-           ROUND(AVG(o_totalprice), 2)  AS avg_price,
-           ROUND(MIN(o_totalprice), 2)  AS min_price,
-           ROUND(MAX(o_totalprice), 2)  AS max_price
+           CAST(COUNT(*) AS BIGINT)               AS n_orders,
+           ROUND(SUM(o_totalprice), 2)            AS sum_price,
+           {_duck_round_avg("o_totalprice", 2)}   AS avg_price,
+           ROUND(MIN(o_totalprice), 2)            AS min_price,
+           ROUND(MAX(o_totalprice), 2)            AS max_price
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    doc="D1 hash aggregation with partial/final phases (Catalyst default)",
+    doc="D1 hash aggregation with partial/final phases (Catalyst "
+    "default). avg_price rounds via integer-exact fixed-point "
+    "(rounded_mean, see rate_charge) — small-group averages of 2-dec "
+    "values can land exactly on rounding half boundaries.",
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -335,7 +356,7 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            rounded_mean(F.col("o_totalprice"), 2).alias("avg_price"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )

@@ -288,3 +288,67 @@ def test_both_strategies_match_brute_force(spark):
             ).collect()
         }
         assert got == want, f"max_df={max_df}"
+
+
+def test_rounded_mean_property_matches_decimal(spark):
+    """Hypothesis sweep: rounded_mean == Decimal HALF-away-from-zero of
+    the exact cents mean, for signed 2-dec inputs over small groups
+    (the shape where ROUND(AVG(..), 2) hits exact half boundaries —
+    fuzz seed 61016: a 2-row group averaging -5739.725), and the
+    DuckDB mirror fragment agrees cell-for-cell."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_work_flow_for_big_data_spark.functions.text import rounded_mean
+
+    groups = st.lists(
+        st.lists(
+            st.integers(min_value=-10_000_000, max_value=10_000_000),  # cents
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=15, deadline=None)
+    @given(groups)
+    def check(cents_groups):
+        rows = [
+            (gi, c / 100.0) for gi, grp in enumerate(cents_groups) for c in grp
+        ]
+        df = spark.createDataFrame(rows, "g int, x double")
+        got = {
+            r["g"]: r["m"]
+            for r in df.groupBy("g")
+            .agg(rounded_mean(F.col("x"), 2).alias("m"))
+            .collect()
+        }
+        vals = ", ".join(f"({g}, {x!r}::DOUBLE)" for g, x in rows)
+        duck = {
+            g: m
+            for g, m in con.sql(
+                "SELECT g, (CASE WHEN TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT) < 0"
+                " THEN -1 ELSE 1 END) *"
+                " ((2*abs(TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT)) + COUNT(x))"
+                " // (2*COUNT(x))) / 100.0"
+                f" FROM (VALUES {vals}) AS t(g, x) GROUP BY g"
+            ).fetchall()
+        }
+        for gi, grp in enumerate(cents_groups):
+            total = sum(grp)
+            exact = Decimal(total) / Decimal(100 * len(grp))
+            # HALF_UP on |value|, sign reapplied = half away from zero,
+            # which is what BOTH engines do for negative halves
+            want = float(
+                (abs(exact)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            ) * (1 if total >= 0 else -1) + 0.0
+            assert got[gi] == want, (gi, grp, got[gi], want)
+            assert duck[gi] == want, (gi, grp, duck[gi], want)
+
+    check()

@@ -11,8 +11,9 @@ from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
 # Every query whose implementation or oracle changed in round 6 — these
 # MUST receive a fresh driver hash check, ahead of stale-but-unchanged
-# queries (r6 had 30 touched + 33 r4-stale = 63 candidates for 50
-# slots; the 13-query overflow is the deliberate deferred tail
+# queries (r6 had 32 touched + 32 still-stale = 64 candidates for 50
+# slots (agg_groupby moved from the stale set into touched); the
+# 14-query overflow is the deliberate deferred tail
 # documented in _CHECK_PRIORITY).
 CHANGED_R6 = [
     "dedup_minhash",
@@ -45,6 +46,8 @@ CHANGED_R6 = [
     "text_editdist",
     "text_fingerprint",
     "dedup_exact",
+    "rate_charge",
+    "agg_groupby",
     "window_analytic",
 ]
 
