@@ -257,10 +257,20 @@ def normalize_text(text: Column) -> Column:
     documented canonical form: non-ASCII case variants hash as
     distinct documents, identically everywhere.
 
-    DuckDB mirror: ``translate(text, 'A..Z', 'a..z')`` (same 26-char
-    alphabets)."""
+    The whitespace collapse uses an EXPLICIT class, not ``\\s``: Java
+    regex ``\\s`` includes vertical tab (0x0B) where DuckDB's RE2
+    ``\\s`` does not, so a ``\\s+``-based collapse diverges on a
+    ``\\x0B``-bearing document (review follow-up to the fuzz sweep —
+    the fuzz control-char pool happened to omit 0x0B). The class
+    spells out Java's exact set; RE2 writes the same set as
+    ``[ \\t\\n\\r\\f\\v]``.
+
+    DuckDB mirror: ``trim(regexp_replace(translate(text, 'A..Z',
+    'a..z'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``."""
     return F.trim(
-        F.regexp_replace(F.translate(text, _AZ_UPPER, _AZ_LOWER), r"\s+", " ")
+        F.regexp_replace(
+            F.translate(text, _AZ_UPPER, _AZ_LOWER), "[ \t\n\r\f\x0B]+", " "
+        )
     )
 
 

@@ -73,6 +73,7 @@ def cosine_pairs(
     threshold: float,
     block_size: int = 65536,
     n_hint: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (exact O(n²) baseline).
 
@@ -112,6 +113,13 @@ def cosine_pairs(
     size the grid — passing it skips the sizing ``count()`` scan. An
     underestimate still bounds per-task memory at roughly the true
     n / n_blocks; correctness never depends on it.
+
+    ``dim``: the corpus's embedding width when the caller knows it
+    (the fixture/table contract) — PASS IT at scale. Without it each
+    y-block infers its own modal width, which is sound only while
+    corrupted rows are a minority of every block: a block where
+    same-width corrupted rows outnumber good ones would silently NaN
+    the good rows, a partition-dependent result.
 
     Ids must be integral: the kernel compares int64 ids for the
     pair-once property. Validated up front — a non-integral id column
@@ -176,7 +184,9 @@ def cosine_pairs(
                     "cos_raw": pd.Series(dtype="float64"),
                 }
             )
-        B = _as_matrix(right["pv"])
+        # explicit contract dim when given; else the y block's modal
+        # width (minority-corruption assumption, see docstring)
+        B = _as_matrix(right["pv"], dim)
         ids_b = right["pid"].to_numpy(dtype=np.int64)
         norms_b = _fold_norm_sq(B)
         # chunk the x slice so the cos matrix stays ~32 MiB no matter

@@ -123,14 +123,15 @@ _CHECK_PRIORITY = [
     "rate_charge",
     "agg_groupby",
     # -- last hard check is round 4 (r5 spent its 50 slots on the
-    #    then-stale r3 set plus its own perf-touched queries). 27
-    #    r6-touched + 33 r4-stale = 60 candidates for 50 slots: the 10
-    #    SIMPLEST unchanged r4-green queries (tail below) defer to r7
-    #    and MUST lead its rotation — changed implementations outrank
-    #    stale-but-unchanged ones, and every deferred query is still
-    #    oracle-checked at sf0.001 by tests/test_oracle_parity.py (and
-    #    on adversarial tables by
-    #    tests/test_adversarial_corpus_parity.py) every round.
+    #    then-stale r3 set plus its own perf-touched queries). Final
+    #    r6 arithmetic: 32 r6-touched above + the 18 kept-stale below
+    #    fill all 50 slots; the remaining 14 r4-checked queries defer
+    #    to r7 via the tail (see its note) and MUST lead its rotation
+    #    — changed implementations outrank stale-but-unchanged ones,
+    #    and every deferred query is still oracle-checked at sf0.001
+    #    by tests/test_oracle_parity.py (and on adversarial/fuzz
+    #    tables by tests/test_adversarial_corpus_parity.py and
+    #    tests/test_fuzz_parity.py) every round.
     "join_anti",
     "join_asof",
     "join_range",

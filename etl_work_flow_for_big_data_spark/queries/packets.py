@@ -350,25 +350,37 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path access over events.props. Total on any fixture: malformed "
     "JSON parses to NULL (from_json is lenient; duck json_extract "
     "ERRORS without the json_valid guard) and a non-numeric k is "
-    "try_cast → NULL on both sides instead of an ANSI cast error. The "
-    "oracle gates its cast behind trim + an integer regex because the "
-    "engines' raw string→int coercions genuinely differ — duck "
-    "TRY_CAST('12.5') rounds to 13 and accepts '1e2'/'0x1A'/'.5' where "
-    "Spark try_cast yields NULL; the gated form matched Spark on a "
-    "17-case probe (signs, whitespace, fractions, scientific, hex, "
-    "overflow, unicode digits).",
+    "try_cast → NULL on both sides instead of an ANSI cast error. BOTH "
+    "sides gate the cast behind the same btrim(space/tab/LF/CR) + "
+    "integer regex, because the engines' raw string→int coercions "
+    "genuinely differ in both directions: duck TRY_CAST('12.5') rounds "
+    "to 13 and accepts '1e2'/'0x1A'/'.5' where Spark yields NULL, and "
+    "Spark's bare try_cast trims the full Java control-char set "
+    "(form-feed-wrapped digits) where duck's trim doesn't. The shared "
+    "gate matched on a 17-case probe (signs, whitespace, fractions, "
+    "scientific, hex, overflow, unicode digits).",
 )
 def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # k STRING + try_cast, not k INT: from_json with an INT field nulls
-    # a JSON-string "12" that the path-extract route (and the oracle's
-    # json_extract_string) coerces to 12 — extract-then-cast keeps both
-    # columns and the oracle on one coercion rule
+    # k STRING + a gated cast, not k INT: from_json with an INT field
+    # nulls a JSON-string "12" that the path-extract route (and the
+    # oracle's json_extract_string) coerces to 12 — extract-then-cast
+    # keeps both columns and the oracle on one coercion rule. The
+    # gate (btrim of space/\t/\n/\r, then an integer regex) runs on
+    # the SPARK side too, not just the oracle: a bare try_cast trims
+    # the full Java control-char set (a form-feed-wrapped '\x0c42'
+    # would cast to 42 where the oracle's 4-char trim leaves NULL) —
+    # one shared rule, applied verbatim on both engines.
     parsed = F.from_json("props", "k STRING")
+
+    def _int_gate(c):
+        t = F.btrim(c, F.lit(" \t\n\r"))
+        return F.when(t.rlike(r"^[+-]?[0-9]+$"), t).try_cast("int")
+
     return ev.select(
         "event_id",
-        parsed["k"].try_cast("int").alias("k"),
-        F.get_json_object("props", "$.k").try_cast("int").alias("k_via_path"),
+        _int_gate(parsed["k"]).alias("k"),
+        _int_gate(F.get_json_object("props", "$.k")).alias("k_via_path"),
     )
 
 

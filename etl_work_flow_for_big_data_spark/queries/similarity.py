@@ -104,7 +104,10 @@ def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet-footer count: sizes the hash blocks without a scan job
     # (upper bound — the validity filter only shrinks blocks)
     n = table_row_count(sf_dir, "embeddings")
-    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4, n_hint=n)
+    # dim=64: the embeddings fixture contract (TESTDATA.md; same
+    # constant the LSH plane generator assumes) — pins the kernel
+    # width so no y-block can mis-infer it from corrupted rows
+    return cosine_pairs(e, "vec_id", "embedding", threshold=0.4, n_hint=n, dim=64)
 
 
 _DUCK_SIG = """

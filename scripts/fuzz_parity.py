@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 import duckdb  # noqa: E402
 
-_CTRL = ["\x00", "\x01", "\x08", "\x0c", "\x1f", "\x7f", "\t", "\n", "\r"]
+_CTRL = ["\x00", "\x01", "\x08", "\x0b", "\x0c", "\x1f", "\x7f", "\t", "\n", "\r"]
 _WORDS = ["alpha", "beta", "gamma", "東京", "naïve", "s=v", "p|q", '"q"', "\\esc", ""]
 
 

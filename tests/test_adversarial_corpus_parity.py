@@ -35,6 +35,10 @@ ADVERSARIAL_DOCS = [
     # so the frame boundary splits a character — pins the hex-view
     # (byte-true) frame/resize hashing against char-based slicing
     (10, "東" * 50 + " tail words here", "ja", "webz", 166),
+    # vertical tab + Turkish İ: Java \s includes \x0B where RE2's does
+    # not (normalize_text pins an explicit class), and full-Unicode
+    # lower() diverges on İ (normalize_text ASCII-folds via translate)
+    (11, "Mixed\x0bCase İstanbul I TEXT here", "tr", "webz", 30),
 ]
 
 #: every registered query that reads ONLY the documents table
@@ -128,6 +132,10 @@ ADVERSARIAL_EVENTS = [
     (10, _TS, 41, "b\x08f\x0cc\x01d\x1f", 1.0, '{"k": 12.5}'),
     (11, _TS, 43, "del\x7f\x00nul", 2.0, '{"k": "1e2"}'),
     (12, _TS, 47, "ok2", 3.0, '{"k": " 12 "}'),
+    # form-feed-wrapped digits: Spark's bare try_cast trims the full
+    # Java control-char set where duck's 4-char trim does not — both
+    # sides now share one btrim+regex gate, so this is NULL everywhere
+    (13, _TS, 53, "ok3", 4.0, '{"k": "\\f42"}'),
 ]
 
 #: registered queries that read ONLY the events table

@@ -248,3 +248,28 @@ def test_ragged_leading_row_cannot_hijack_batch_dim(spark):
     assert m.shape == (3, 2)
     t = _as_matrix(pd.Series([[1.0], [2.0, 3.0]]))
     assert t.shape == (2, 2)
+
+
+def test_contract_dim_overrides_majority_corrupt_block(spark):
+    """With the contract ``dim`` passed, even a block where corrupted
+    same-width rows OUTNUMBER the good ones cannot hijack the width —
+    without it, modal inference would pick the corrupt majority's
+    width and silently NaN the in-contract rows (partition-dependent
+    output, which the invariance axis forbids). sim_pairs passes the
+    fixture dim for exactly this reason."""
+    rows = [
+        (0, [9.0, 9.0, 9.0]),  # corrupt majority: three 3-dim rows
+        (1, [8.0, 8.0, 8.0]),
+        (2, [7.0, 7.0, 7.0]),
+        (3, [1.0, 1.0]),       # in-contract 2-dim pair
+        (4, [1.0, 0.9]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    got = {
+        (r["d1"], r["d2"])
+        for r in cosine_pairs(df, "vec_id", "embedding", 0.9, dim=2).collect()
+    }
+    assert (3, 4) in got
+    assert all(p == (3, 4) for p in got)
