@@ -120,10 +120,17 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     ``C = ROUND(SUM(x)·100)`` is cross-engine-identical because a
     2-dec sum sits within n·ulp of an integer (never near .5); then
     ``round(C·10^(d-2)/(100·n·10^(d-2)), d) = sign · ((2|D| + n)
-    intdiv 2n) / 10^d`` with ``D = C·10^(d-2)``, all < 2^53 through
-    SF ~1000. An all-NULL group propagates NULL (try_mod; duck's
-    ``NULL // 0`` is NULL too), and a ±Inf/NaN sum — outside the
-    fixed-point contract — is NULL on BOTH engines via try_cast
+    intdiv 2n) / 10^d`` with ``D = C·10^(d-2)``. intdiv is Spark's
+    ``div`` (IntegralDivide on longs — exact through long range,
+    i.e. SUM(x)·100 up to ~4.6e18, far past SF 1000; the earlier
+    ``(a - try_mod(a,b))/b`` double-division form lost exactness
+    once ``2|D|+n`` crossed 2^53, ~SF 700 for 2-dec price columns,
+    where the DuckDB mirror's BIGINT ``//`` stayed exact). Under
+    ANSI, ``div`` by a zero divisor ERRORS, so the zero-count case
+    is when-guarded to NULL; duck's ``NULL // 0``/``x // 0`` path
+    never arises there because COUNT=0 forces SUM=NULL first. An
+    all-NULL group propagates NULL, and a ±Inf/NaN sum — outside
+    the fixed-point contract — is NULL on BOTH engines via try_cast
     (an ANSI plain cast of ±Inf to BIGINT kills the task; duck's
     TRY_CAST mirrors the NULL).
 
@@ -141,7 +148,7 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     n = F.count(x)
     a = F.abs(d) * 2 + n
     b = n * 2
-    q = (a - F.try_mod(a, b)) / b
+    q = F.when(b != 0, F.call_function("div", a, b))
     sign = F.when(d < 0, F.lit(-1.0)).when(d >= 0, F.lit(1.0))
     return sign * q / F.lit(float(10**out_dec))
 

@@ -339,9 +339,9 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
-           TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+           TRY_CAST(CASE WHEN regexp_matches(ks, '\\A[+-]?[0-9]+\\z')
                          THEN ks END AS INT) AS k,
-           TRY_CAST(CASE WHEN regexp_matches(ks, '^[+-]?[0-9]+$')
+           TRY_CAST(CASE WHEN regexp_matches(ks, '\\A[+-]?[0-9]+\\z')
                          THEN ks END AS INT) AS k_via_path
     FROM j
     ORDER BY event_id
@@ -356,9 +356,15 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "genuinely differ in both directions: duck TRY_CAST('12.5') rounds "
     "to 13 and accepts '1e2'/'0x1A'/'.5' where Spark yields NULL, and "
     "Spark's bare try_cast trims the full Java control-char set "
-    "(form-feed-wrapped digits) where duck's trim doesn't. The shared "
-    "gate matched on a 17-case probe (signs, whitespace, fractions, "
-    "scientific, hex, overflow, unicode digits).",
+    "(form-feed-wrapped digits) where duck's trim doesn't. The gate "
+    "anchors with \\\\A..\\\\z, NOT ^..$: Java's $ matches before a "
+    "trailing U+2028/U+2029/U+0085 line terminator (which btrim does "
+    "not strip and try_cast then trims as Java whitespace → 12 for "
+    "'12\\u2028') while RE2's $ is end-of-string — \\\\A/\\\\z mean "
+    "end-of-input with no line-terminator exception in BOTH dialects. "
+    "The shared gate matched on a 17-case probe (signs, whitespace, "
+    "fractions, scientific, hex, overflow, unicode digits) plus the "
+    "U+2028/29/85-terminated variants.",
 )
 def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -375,7 +381,7 @@ def parse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _int_gate(c):
         t = F.btrim(c, F.lit(" \t\n\r"))
-        return F.when(t.rlike(r"^[+-]?[0-9]+$"), t).try_cast("int")
+        return F.when(t.rlike(r"\A[+-]?[0-9]+\z"), t).try_cast("int")
 
     return ev.select(
         "event_id",

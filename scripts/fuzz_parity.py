@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 import duckdb  # noqa: E402
 
-_CTRL = ["\x00", "\x01", "\x08", "\x0b", "\x0c", "\x1f", "\x7f", "\t", "\n", "\r"]
+_CTRL = ["\x00", "\x01", "\x08", "\x0b", "\x0c", "\x1f", "\x7f", "\t", "\n", "\r",
+         # Unicode line terminators: Java regex $ (and \s-class trims)
+         # treats these as line ends where RE2/duck does not — the
+         # exact class behind the parse_json \A..\z anchor fix
+         "\u2028", "\u2029", "\u0085"]
 _WORDS = ["alpha", "beta", "gamma", "東京", "naïve", "s=v", "p|q", '"q"', "\\esc", ""]
 
 
@@ -83,7 +87,10 @@ def _rand_props(rng: random.Random) -> str | None:
         return rng.choice(["not json", "{", "[1,2", "", "nul\x00l", "{]"])
     k = rng.choice(
         ["7", "-12", "0", "12.5", '"12"', '"1e2"', '" 42 "', '"abc"',
-         "null", "1e2", "true", '"0x1A"', "99999999999999"]
+         "null", "1e2", "true", '"0x1A"', "99999999999999",
+         # line-terminator-wrapped digits: Java $ / try_cast trim
+         # these as line ends, RE2 / duck trim does not
+         '"12\u2028"', '"-3\u2029"', '"4\u0085"', '"\u20287"']
     )
     return "{\"k\": %s}" % k
 

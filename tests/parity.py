@@ -42,6 +42,11 @@ def _cell(v) -> str:
 
 def _canon(tbl) -> pd.DataFrame:
     names = sorted(tbl.schema.names)
+    # duplicate column names would silently compare one column's data
+    # twice through the by-name dict and drop the other — and the
+    # column-list equality assert in compare() can't see it (both
+    # sides would list the same names). Refuse up front.
+    assert len(set(names)) == len(names), f"duplicate column names: {names}"
     by_name = {name: [_cell(v) for v in tbl.column(i).to_pylist()]
                for i, name in enumerate(tbl.schema.names)}
     # row sort at the PYTHON level, not pandas sort_values: pandas'

@@ -290,12 +290,17 @@ def test_both_strategies_match_brute_force(spark):
         assert got == want, f"max_df={max_df}"
 
 
-def test_rounded_mean_property_matches_decimal(spark):
+@pytest.mark.parametrize("out_dec", [2, 4])
+def test_rounded_mean_property_matches_decimal(spark, out_dec):
     """Hypothesis sweep: rounded_mean == Decimal HALF-away-from-zero of
     the exact cents mean, for signed 2-dec inputs over small groups
-    (the shape where ROUND(AVG(..), 2) hits exact half boundaries —
+    (the shape where ROUND(AVG(..), d) hits exact half boundaries —
     fuzz seed 61016: a 2-row group averaging -5739.725), and the
-    DuckDB mirror fragment agrees cell-for-cell."""
+    DuckDB mirror agrees cell-for-cell. The mirror SQL is built by
+    the PRODUCTION ``_duck_round_avg`` — not a hand-inlined copy —
+    so the three-way contract (Spark expr, duck mirror, Decimal
+    ground truth) is pinned for both deployed scales (out_dec=2 for
+    price columns, 4 for avg_disc)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     import duckdb
@@ -303,6 +308,7 @@ def test_rounded_mean_property_matches_decimal(spark):
     from hypothesis import strategies as st
 
     from etl_work_flow_for_big_data_spark.functions.text import rounded_mean
+    from etl_work_flow_for_big_data_spark.queries.relational import _duck_round_avg
 
     groups = st.lists(
         st.lists(
@@ -315,6 +321,7 @@ def test_rounded_mean_property_matches_decimal(spark):
     )
 
     con = duckdb.connect()
+    quantum = Decimal(1).scaleb(-out_dec)
 
     @settings(max_examples=15, deadline=None)
     @given(groups)
@@ -326,17 +333,14 @@ def test_rounded_mean_property_matches_decimal(spark):
         got = {
             r["g"]: r["m"]
             for r in df.groupBy("g")
-            .agg(rounded_mean(F.col("x"), 2).alias("m"))
+            .agg(rounded_mean(F.col("x"), out_dec).alias("m"))
             .collect()
         }
         vals = ", ".join(f"({g}, {x!r}::DOUBLE)" for g, x in rows)
         duck = {
             g: m
             for g, m in con.sql(
-                "SELECT g, (CASE WHEN TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT) < 0"
-                " THEN -1 ELSE 1 END) *"
-                " ((2*abs(TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT)) + COUNT(x))"
-                " // (2*COUNT(x))) / 100.0"
+                f"SELECT g, {_duck_round_avg('x', out_dec)}"
                 f" FROM (VALUES {vals}) AS t(g, x) GROUP BY g"
             ).fetchall()
         }
@@ -346,7 +350,7 @@ def test_rounded_mean_property_matches_decimal(spark):
             # HALF_UP on |value|, sign reapplied = half away from zero,
             # which is what BOTH engines do for negative halves
             want = float(
-                (abs(exact)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+                (abs(exact)).quantize(quantum, rounding=ROUND_HALF_UP)
             ) * (1 if total >= 0 else -1) + 0.0
             assert got[gi] == want, (gi, grp, got[gi], want)
             assert duck[gi] == want, (gi, grp, duck[gi], want)
