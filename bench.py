@@ -109,7 +109,21 @@ def main() -> None:
         out["errors"] = errors
     if rerun_errors:
         out["rerun_errors"] = rerun_errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Self-insurance: the round driver's capture buffer has truncated
+    # the stdout line before (BENCH_r06 kept a 2,000-char tail, losing
+    # half the per-query record), so the full JSON is also written
+    # next to the script and committed per round — cross-round perf
+    # claims must never depend on the driver's buffer.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
     # Non-zero exit only when the run is substantially broken (<90%
     # timed); a stray failure still yields a usable bench record.
     attempted = set(timings) | set(errors)

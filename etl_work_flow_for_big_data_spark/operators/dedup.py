@@ -383,11 +383,13 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
     as both a lo and a hi (no chains) and no hi occurs twice (no node
     under two roots). That is exactly the fixpoint: a canonical star
     forest is trivially stable under both stars, and any non-star
-    shape is changed by one of them. One cheap aggregate over the
-    round's already-checkpointed output, so no confirmation round is
-    burned re-running the full transform to observe "nothing changed"
-    (A/B: the signature-comparison form cost one extra round, ~0.7 s
-    at sf0.1). Tested before round 0 too — already-star inputs (the
+    shape is changed by one of them. One cheap aggregate whose collect
+    is the round's SINGLE action — it materializes the round's lazy
+    localCheckpoint as it aggregates, so a round costs one Spark job,
+    and no confirmation round is burned re-running the full transform
+    to observe "nothing changed" (A/B: the signature-comparison form
+    cost one extra round, ~0.7 s at sf0.1; the earlier eager-checkpoint
+    form cost a second job per round). Tested before round 0 too — already-star inputs (the
     common near-dup shape: isolated pairs and fans) do zero rounds.
 
     At the fixpoint the stars are the components and each root is its
@@ -423,18 +425,25 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
         return not row["chain"] and not row["multi"]
 
     # keep self-pairs through canonicalization (their nodes are part
-    # of the contract), strip them from the edge set after
+    # of the contract), strip them from the edge set after.
+    # Checkpoints here and in the loop are LAZY (eager=False): the
+    # round's only action is then the convergence collect in
+    # `_is_star`, which materializes the checkpoint as it aggregates —
+    # one Spark job per round instead of two (checkpoint job + probe
+    # job). The fixed per-round job overhead dominated this operator
+    # at sf0.1 (244 edges, 4.4 s), and at scale halving the job count
+    # halves scheduler/barrier latency without touching the data path.
     raw = (
         pairs.select(
             F.least("d1", "d2").alias("lo"), F.greatest("d1", "d2").alias("hi")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     edges = raw.filter(F.col("lo") != F.col("hi"))
     # ONE pass builds both the node set (needed for root labels at the
     # end) and the initial star probe — they share the groupBy(id)
-    profile = _edge_profile(raw).localCheckpoint(eager=True)
+    profile = _edge_profile(raw).localCheckpoint(eager=False)
     nodes = profile.select("id")
     converged = _is_star(profile)
     for _ in range(max_iters):
@@ -463,7 +472,7 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
             .union(ssj.select(F.col("m").alias("lo"), F.col("hi")))
             .filter(F.col("lo") != F.col("hi"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by _is_star below
         )
         converged = _is_star(_edge_profile(edges))
     if not converged:
