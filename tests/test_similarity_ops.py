@@ -273,3 +273,72 @@ def test_contract_dim_overrides_majority_corrupt_block(spark):
     }
     assert (3, 4) in got
     assert all(p == (3, 4) for p in got)
+
+
+def test_ann_recall_pinned_on_planted_neighbors(spark):
+    """Recall@5 is a TRACKED number, not just a superset relation.
+
+    The r6 MinHash-seed bug proved the failure mode is real: a hash
+    family can drift (per-plan-build seeds, banding changes) without
+    any correctness test going red, silently destroying recall. This
+    pin makes that a red test. The fixture is deterministic planted
+    geometry, not the driver's random embeddings: isotropic random
+    vectors have no genuinely-near neighbors (their exact top-5 sit
+    near cos 0.5, where any sublinear ANN legitimately has ~0 recall
+    — measured 0.00/0.20 on sf0.01), while LSH's contract is recall
+    of NEAR neighbors. Each query q gets 5 planted neighbors at exact
+    angle cos=0.99 (w = v*cos(phi) + u*sin(phi), u unit orthogonal),
+    where theory gives single-probe recall ~(1-phi/pi)^8 ~ 0.69 and
+    Hamming-1 multiprobe ~0.95 for 8 planes."""
+    import numpy as np
+
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ann_lsh_topk,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(7701)
+    dim, cos_target = 64, 0.99
+    sin_target = math.sqrt(1.0 - cos_target**2)
+    rows = []
+    vid = 1000
+    for qi in range(8):  # 8 queries x 5 planted + 40 background
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((qi, [float(x) for x in v]))
+        for _ in range(5):
+            u = rng.standard_normal(dim)
+            u -= (u @ v) * v
+            u /= np.linalg.norm(u)
+            w = cos_target * v + sin_target * u
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    for _ in range(40):
+        b = rng.standard_normal(dim)
+        rows.append((vid, [float(x / np.linalg.norm(b)) for x in b]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 8")
+    truth = {
+        (r["q_vec_id"], r["c_vec_id"])
+        for r in topk_cosine(q, df, "vec_id", "embedding", k=5).collect()
+    }
+    assert len(truth) == 40  # 8 queries x top-5 (the planted neighbors)
+
+    def recall(multi_probe: bool) -> float:
+        got = {
+            (r["q_vec_id"], r["c_vec_id"])
+            for r in ann_lsh_topk(
+                q, df, "vec_id", "embedding", k=5, multi_probe=multi_probe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    single, multi = recall(False), recall(True)
+    # deterministic fixture + deterministic md5 hash family => these
+    # are exact, stable numbers (measured single=0.90, multi=1.00);
+    # the floors leave margin only for a deliberate parameter retune,
+    # not for silent hash-family drift
+    assert single >= 0.6, f"single-probe recall@5 regressed: {single}"
+    assert multi >= 0.8, f"multiprobe recall@5 regressed: {multi}"
+    assert multi >= single
