@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.sources.registry import DEFAULT as SOURCES
@@ -15,7 +16,10 @@ from etl_work_flow_for_big_data_spark.streaming.logsink import (
     build_log_packets,
     log_table_writer,
 )
-from etl_work_flow_for_big_data_spark.streaming.stateful import running_totals_per_key
+from etl_work_flow_for_big_data_spark.streaming.stateful import (
+    running_totals_per_key,
+    tws_available,
+)
 
 EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 
@@ -27,10 +31,29 @@ def _write_chunk(path, rows):
             f.write(json.dumps(r) + "\n")
 
 
-def test_stateful_running_totals_survive_restart(spark, tmp_path):
+@pytest.mark.parametrize(
+    "engine",
+    [
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not tws_available(),
+                reason="transformWithStateInPandas needs the protobuf "
+                "package for its Python state server (absent in this "
+                "runtime; capability-gated, see COVERAGE.md)",
+            ),
+        ),
+        "applyinpandas",
+    ],
+)
+def test_stateful_running_totals_survive_restart(spark, tmp_path, engine):
     """Per-key state (the session-plugin state analog,
     MFramework.cpp:749-773) persists across query RESTARTS through the
-    checkpoint — the FWorkCheckpoint recovery semantics."""
+    checkpoint — the FWorkCheckpoint recovery semantics. Pinned on
+    BOTH engines: transformWithStateInPandas (the Spark 4 default,
+    RocksDB-backed state) and the legacy applyInPandasWithState
+    fallback — their checkpoints are not interchangeable, so each
+    restart here stays within its own engine."""
     indir, ckpt = tmp_path / "in", tmp_path / "ckpt"
     _write_chunk(
         indir,
@@ -52,7 +75,7 @@ def test_stateful_running_totals_survive_restart(spark, tmp_path):
             )
 
         q = (
-            running_totals_per_key(stream)
+            running_totals_per_key(stream, engine=engine)
             .writeStream.foreachBatch(write)
             .outputMode("update")
             .option("checkpointLocation", str(ckpt))
@@ -188,3 +211,29 @@ def test_kv_text_write_newline_in_value_fails(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="newline"):
         write_kv_text(bad, str(tmp_path / "bad"))
+
+
+def test_stateful_engine_gate_negative_paths(spark):
+    """The tws capability gate is honest, not a silent downgrade:
+    engine='auto' on a runtime without protobuf builds the legacy
+    FlatMapGroupsInPandasWithState plan, and an EXPLICIT engine='tws'
+    raises a clear ImportError at build time instead of crashing the
+    streaming Python worker at query start with an opaque
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .withColumnRenamed("value", "user_id")
+        .withColumn("value", F.lit(1.0))
+    )
+    plan = (
+        running_totals_per_key(stream, engine="auto")
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    if tws_available():
+        assert "TransformWithState" in plan
+    else:
+        assert "FlatMapGroupsInPandasWithState" in plan
+        with pytest.raises(ImportError, match="protobuf"):
+            running_totals_per_key(stream, engine="tws")
+    with pytest.raises(ValueError, match="engine"):
+        running_totals_per_key(stream, engine="bogus")
