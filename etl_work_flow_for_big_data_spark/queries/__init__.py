@@ -67,101 +67,26 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Round-6 rotation
-# (VERDICT r5 "Next round" #1): queries whose implementation changed
-# this round lead (they need a fresh hash check), then the 34 queries
-# whose last hard check is round 4 (join/agg/window/relational
-# families), so no query's latest check is ever older than two rounds.
-# Names absent from this list (the r5-green, untouched set) keep
-# registration order at the back; NEW/CHANGED queries must be added to
-# the front to receive a slot.
+# which queries receive a hard oracle check. Round-7 rotation
+# (VERDICT r6 "Next round" #1): the 14 queries whose last hard check
+# is round 4 lead — they are the rotation debt that keeps the "no
+# check older than two rounds" invariant alive — followed by the four
+# whose implementation r7 touched (parse_json's \A..\z gate anchors;
+# rate_charge/agg_groupby's rounded_mean now divides with exact long
+# `div`; dedup_components' rounds went single-job via lazy
+# checkpoints), then the full 20-query r5-checked set (at the
+# two-round edge; deferring any of them would make round 8's quota
+# 20+34 > 50 and break the invariant there). That is 38 named slots;
+# the remaining 12 fill from the r6-checked, untouched set in
+# registration order at the back, leaving 34 r6-checked queries whose
+# recheck is round 8's rotation debt (34 + 16 carryover fits its 50).
+# Every deferred query is still oracle-checked at sf0.001 by
+# tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
+# every round. NEW/CHANGED queries must be added to the front to
+# receive a slot.
 _CHECK_PRIORITY = [
-    # -- implementation touched in round 6 (wire predicate grew an
-    #    optional sign; cosine_pairs went executor-side; connected
-    #    components got the two-phase default; NTILE stats fused;
-    #    minhash seed binding fixed + integer-exact ratio rounding
-    #    across the text/dedup family)
-    "dedup_minhash",
-    "text_quality",
-    "text_lang_id",
-    "dedup_ngram",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "dedup_simhash",
-    "text_chunk",
-    "filter_required",
-    "project_rename",
-    "sim_pairs",
-    "sim_topk",
-    "sim_ivf_topk",
-    "dedup_components",
-    "window_ntile",
-    "scalar_string_date",
-    "agg_approx_quantile",
-    "mm_features",
-    "mm_frames",
-    "mm_resize",
-    # -- events family hardened late in round 6 (total wire/JSON
-    #    semantics under adversarial fixtures): fresh checks required
-    "parse_kv",
-    "serialize_kv",
-    "serialize_json",
-    "parse_json",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    # -- fuzz-sweep fixes at round close (scripts/fuzz_parity.py):
-    #    byte-level levenshtein pin; ASCII-fold fingerprint
-    #    normalization (Spark full-Unicode lower vs duck simple
-    #    mapping); window_analytic stays in the stale block below
-    #    (its oracle NULLS FIRST pin changed too)
-    "text_editdist",
-    "text_fingerprint",
-    "dedup_exact",
-    # -- integer-exact rounded means (fuzz seed 61016: small-group
-    #    ROUND(AVG) half-boundary split)
-    "rate_charge",
-    "agg_groupby",
-    # -- last hard check is round 4 (r5 spent its 50 slots on the
-    #    then-stale r3 set plus its own perf-touched queries). Final
-    #    r6 arithmetic: 32 r6-touched above + the 18 kept-stale below
-    #    fill all 50 slots; the remaining 14 r4-checked queries defer
-    #    to r7 via the tail (see its note) and MUST lead its rotation
-    #    — changed implementations outrank stale-but-unchanged ones,
-    #    and every deferred query is still oracle-checked at sf0.001
-    #    by tests/test_oracle_parity.py (and on adversarial/fuzz
-    #    tables by tests/test_adversarial_corpus_parity.py and
-    #    tests/test_fuzz_parity.py) every round.
-    "join_anti",
-    "join_asof",
-    "join_range",
-    "join_star",
-    "merge_upsert",
-    "agg_approx_distinct",
-    "null_handling",
-    "subquery_exists",
-    "subquery_scalar",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_tier",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_customers",
-    "window_analytic",
-    "window_range_frame",
-    # -- deferred tail (see note above): the 32 touched + 18 kept-stale
-    #    entries fill all 50 slots, so these fourteen defer to round 7
-    #    (they must LEAD the r7 rotation). Deferral picks, lowest risk
-    #    first: window_rank (property-pinned next to the
-    #    freshly-rechecked window_analytic; its DESC null ordering
-    #    already agrees across engines without a pin),
-    #    agg_rollup/agg_cube (grouping-sets sibling agg_grouping_sets
-    #    IS freshly checked — same ROLLUP/CUBE machinery),
-    #    join_left/join_semi (plan-asserted in pytest; siblings
-    #    join_anti/join_star/join_range keep their slots). Every
-    #    deferred query is still oracle-checked at sf0.001 by
-    #    tests/test_oracle_parity.py and fuzz-swept per round.
+    # -- last hard check round 4 (deferred by the r5 and r6 rotations;
+    #    r6's VERDICT makes them lead r7)
     "window_rank",
     "agg_rollup",
     "agg_cube",
@@ -176,6 +101,32 @@ _CHECK_PRIORITY = [
     "set_union",
     "sort_multi",
     "topk",
+    # -- implementation touched in round 7
+    "parse_json",
+    "rate_charge",
+    "agg_groupby",
+    "dedup_components",
+    # -- last hard check round 5 (the two-round edge)
+    "agg_grouping_sets",
+    "case_map",
+    "cast_types",
+    "decontaminate",
+    "dq_validate",
+    "filter_bitmask",
+    "join_broadcast",
+    "join_salted",
+    "mix_weighted",
+    "mm_binary_meta",
+    "mm_decode",
+    "pack_sequences",
+    "route_assign",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "split_assign",
+    "text_scrub",
+    "text_token_regex",
+    "text_tokens",
+    "ts_gapfill",
 ]
 
 
@@ -194,6 +145,6 @@ def load_all() -> dict[str, QuerySpec]:
 
     rank = {name: i for i, name in enumerate(_CHECK_PRIORITY)}
     insertion = {name: i for i, name in enumerate(REGISTRY)}
-    back = len(_CHECK_PRIORITY)  # unlisted (r2-green) queries keep order, at the back
+    back = len(_CHECK_PRIORITY)  # unlisted (r6-green) queries keep order, at the back
     ordered = sorted(REGISTRY, key=lambda n: (rank.get(n, back), insertion[n]))
     return {name: REGISTRY[name] for name in ordered}

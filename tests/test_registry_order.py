@@ -9,54 +9,65 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Every query whose implementation or oracle changed in round 6 — these
-# MUST receive a fresh driver hash check, ahead of stale-but-unchanged
-# queries (r6 had 32 touched + 32 still-stale = 64 candidates for 50
-# slots (agg_groupby moved from the stale set into touched); the
-# 14-query overflow is the deliberate deferred tail
-# documented in _CHECK_PRIORITY).
-CHANGED_R6 = [
-    "dedup_minhash",
-    "text_quality",
-    "text_lang_id",
-    "dedup_ngram",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "dedup_simhash",
-    "text_chunk",
-    "filter_required",
-    "project_rename",
-    "sim_pairs",
-    "sim_topk",
-    "sim_ivf_topk",
-    "dedup_components",
-    "window_ntile",
-    "scalar_string_date",
-    "agg_approx_quantile",
-    "mm_features",
-    "mm_frames",
-    "mm_resize",
-    "parse_kv",
-    "serialize_kv",
-    "serialize_json",
+# Every query whose implementation or oracle changed in round 7, plus
+# the round's rotation debt — these MUST receive a fresh driver hash
+# check, ahead of recently-checked unchanged queries. The stale sets
+# are the queries whose last hard driver check was round 4 (deferred
+# by the r5 AND r6 rotations — the contractual limit) or round 5 (the
+# two-round edge; deferring any would overflow round 8's 50-slot
+# quota, which already owes the 34 r6-checked queries).
+CHANGED_R7 = [
     "parse_json",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "text_editdist",
-    "text_fingerprint",
-    "dedup_exact",
     "rate_charge",
     "agg_groupby",
-    "window_analytic",
+    "dedup_components",
+]
+STALE_R4 = [
+    "window_rank",
+    "agg_rollup",
+    "agg_cube",
+    "join_left",
+    "join_semi",
+    "agg_distinct",
+    "agg_conditional",
+    "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "profile_columns",
+    "set_union",
+    "sort_multi",
+    "topk",
+]
+STALE_R5 = [
+    "agg_grouping_sets",
+    "case_map",
+    "cast_types",
+    "decontaminate",
+    "dq_validate",
+    "filter_bitmask",
+    "join_broadcast",
+    "join_salted",
+    "mix_weighted",
+    "mm_binary_meta",
+    "mm_decode",
+    "pack_sequences",
+    "route_assign",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "split_assign",
+    "text_scrub",
+    "text_token_regex",
+    "text_tokens",
+    "ts_gapfill",
 ]
 
 
 def test_changed_queries_all_inside_the_50_slot_window():
     names = list(load_all())
     first_50 = set(names[:50])
-    missing = [n for n in CHANGED_R6 if n not in first_50]
-    assert not missing, f"changed queries outside the driver window: {missing}"
+    must_check = CHANGED_R7 + STALE_R4 + STALE_R5
+    missing = [n for n in must_check if n not in first_50]
+    assert not missing, f"must-check queries outside the driver window: {missing}"
 
 
 def test_registry_order_follows_check_priority():
