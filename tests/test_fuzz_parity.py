@@ -1,16 +1,25 @@
-"""One deterministic trial of the seeded fuzz sweep as a regression net.
+"""Deterministic trials of the seeded fuzz sweep as a regression net.
 
 scripts/fuzz_parity.py samples random fixture shapes (the driver
 regenerates every fixture between rounds, so this is the
-round-boundary threat model). Seed 60001 is pinned here because it
-exposed two real gate risks at round-6 close: a zero-norm vector
-landing in an LSH bucket ANSI-crashed the pure-Catalyst cosine
-(vectors.py now try_divides, mirroring duck's natively-NULL double
-division), and multibyte names diverged byte-based duck levenshtein
-from codepoint-based Spark (text_editdist now pins the byte level).
-The NULLS FIRST pin on window_analytic's nullable date key came from
-the same sweep. Re-running the seed keeps all three fixed classes
-fixed; deeper exploration stays in the script (more trials, any seed).
+round-boundary threat model). Two trials are pinned here:
+
+- Seed 60001 (flat keys) exposed two real gate risks at round-6
+  close: a zero-norm vector landing in an LSH bucket ANSI-crashed the
+  pure-Catalyst cosine (vectors.py now try_divides, mirroring duck's
+  natively-NULL double division), and multibyte names diverged
+  byte-based duck levenshtein from codepoint-based Spark
+  (text_editdist now pins the byte level). The NULLS FIRST pin on
+  window_analytic's nullable date key came from the same sweep.
+- Seed 70002 (zipf-skew keys, round 7): one hot key owns ~50% of
+  events.user_id / orders.o_custkey / lineitem.l_orderkey rows — the
+  key-DISTRIBUTION pathology the value sweeps can't reach. Pins
+  result-invariance of the skew paths (AQE skew-join splits,
+  salted_join's salt fan-out, window partitions funneling half a
+  table) against the exact oracle.
+
+Re-running the seeds keeps the fixed classes fixed; deeper
+exploration stays in the script (more trials, any seed).
 """
 
 from __future__ import annotations
@@ -26,31 +35,31 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
-SEED = 60001
+TRIALS = [(60001, False), (70002, True)]
 
 
-@pytest.fixture(scope="module")
-def fuzz_dir(spark, tmp_path_factory):
-    tmp = str(tmp_path_factory.mktemp(f"fuzz_{SEED}"))
-    for name, (rows, schema) in gen_tables(random.Random(SEED)).items():
+@pytest.fixture(
+    scope="module",
+    params=TRIALS,
+    ids=[f"seed{s}-{'skew' if k else 'flat'}" for s, k in TRIALS],
+)
+def fuzz_trial(request, spark, tmp_path_factory):
+    seed, skew = request.param
+    tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
+    tables = gen_tables(random.Random(seed), skew=skew)
+    con = duckdb.connect()
+    for name, (rows, schema) in tables.items():
         (
             spark.createDataFrame(rows, schema)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, f"{name}.parquet"))
         )
-    return tmp
-
-
-@pytest.fixture(scope="module")
-def fuzz_duck(fuzz_dir):
-    con = duckdb.connect()
-    for name in gen_tables(random.Random(SEED)):
         con.sql(
             f"CREATE VIEW {name} AS SELECT * FROM "
-            f"read_parquet('{fuzz_dir}/{name}.parquet/*.parquet')"
+            f"read_parquet('{tmp}/{name}.parquet/*.parquet')"
         )
-    yield con
+    yield tmp, con
     con.close()
 
 
@@ -61,9 +70,10 @@ def _names():
 
 
 @pytest.mark.parametrize("name", _names())
-def test_fuzz_trial_parity(name, spark, fuzz_dir, fuzz_duck):
+def test_fuzz_trial_parity(name, spark, fuzz_trial):
     from etl_work_flow_for_big_data_spark.queries import load_all
     from tests.parity import compare
 
+    fuzz_dir, fuzz_duck = fuzz_trial
     spec = load_all()[name]
     compare(spec.fn(spark, fuzz_dir), fuzz_duck.sql(spec.oracle))
