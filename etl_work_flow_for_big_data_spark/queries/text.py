@@ -448,7 +448,8 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="I2 transitive near-dup clusters: connected components over "
     "n-gram Jaccard pairs via large-star/small-star alternation "
     "(Kiveris et al. — O(log n) rounds regardless of cluster shape; "
-    "eager checkpoints keep the plan O(1) per round; min-label "
+    "lazy per-round checkpoints keep the plan O(1) per round and the "
+    "convergence probe is the round's single job; min-label "
     "propagation retained as the property-tested reference). The "
     "oracle computes the exact transitive closure with a recursive "
     "CTE — so even the iterative algorithm is hash-checked, not "

@@ -12,6 +12,8 @@ deterministic from its seed — a failure report names the seed, so any
 divergence is replayable.
 
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
+(base_seed convention: round N uses N*10000+1; odd trials run in
+zipf-skew key mode — see gen_tables and main.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 
@@ -102,10 +104,24 @@ def _rand_ts(rng: random.Random) -> dt.datetime | None:
     return base + dt.timedelta(seconds=rng.randrange(0, 90 * 86400), microseconds=rng.choice([0, 0, 123456]))
 
 
-def gen_tables(rng: random.Random) -> dict[str, tuple[list, str]]:
+def gen_tables(rng: random.Random, skew: bool = False) -> dict[str, tuple[list, str]]:
+    """``skew=True`` switches every join/group key column to a
+    zipf-shaped draw where ONE hot key owns ~50% of rows (events.
+    user_id, orders.o_custkey, lineitem.l_orderkey) — the
+    key-DISTRIBUTION pathology the value-pathology sweep can't reach:
+    hash-agg spill paths, skewed shuffle joins, window partitions
+    funneling half the table through one partition, and AQE skew-join
+    splits must all be result-invariant."""
+
+    def _key(hot, draw):
+        # 50% hot key, else the table's normal draw; short-circuit
+        # keeps skew=False rng consumption byte-identical to r6 seeds
+        return hot if skew and rng.random() < 0.5 else draw()
+
     n_ev = rng.randrange(8, 40)
     events = [
-        (i, _rand_ts(rng), rng.choice([None, rng.randrange(-50, 50), rng.randrange(0, 9_007_199_254_740_993)]),
+        (i, _rand_ts(rng),
+         _key(7, lambda: rng.choice([None, rng.randrange(-50, 50), rng.randrange(0, 9_007_199_254_740_993)])),
          _rand_text(rng), _rand_double(rng), _rand_props(rng))
         for i in range(n_ev)
     ]
@@ -142,7 +158,7 @@ def gen_tables(rng: random.Random) -> dict[str, tuple[list, str]]:
     ]
     n_ord = rng.randrange(4, 16)
     orders = [
-        (i, rng.choice([None, rng.randrange(0, n_cust + 4)]),
+        (i, _key(2, lambda: rng.choice([None, rng.randrange(0, n_cust + 4)])),
          rng.choice(["O", "F", "P", None]), _rand_double(rng), _rand_ts(rng),
          rng.choice(["1-URGENT", "5-LOW", "3-MEDIUM", "2-HIGH", None, ""]))
         for i in range(1, n_ord + 1)
@@ -150,7 +166,8 @@ def gen_tables(rng: random.Random) -> dict[str, tuple[list, str]]:
     li = []
     for i in range(rng.randrange(6, 30)):
         li.append(
-            (rng.randrange(1, n_ord + 3), rng.randrange(1, 6), rng.randrange(1, 5),
+            (_key(1, lambda: rng.randrange(1, n_ord + 3)),
+             rng.randrange(1, 6), rng.randrange(1, 5),
              i + 1,
              rng.choice([None, round(rng.uniform(-10, 60), 1)]),
              rng.choice([None, round(rng.uniform(-100, 5000), 2)]),
@@ -191,9 +208,17 @@ def gen_tables(rng: random.Random) -> dict[str, tuple[list, str]]:
 
 def main() -> None:
     # argv parsed here, not at module level: tests/test_fuzz_parity.py
-    # imports gen_tables and must not see pytest's argv
+    # imports gen_tables and must not see pytest's argv.
+    # Seed convention: round N sweeps base N*10000+1 (r6 used
+    # 60001-60020; r7 70001+) so every round's trials are FRESH shapes
+    # — the sweep's value is finding new divergence classes, and
+    # re-running last round's seeds only re-proves the pinned fixes.
+    # The swept range is recorded in SCALE.md each round. Odd trials
+    # regenerate their tables in zipf-skew mode (hot join/group keys,
+    # see gen_tables), so a 20-trial sweep is 10 value-pathology + 10
+    # key-distribution trials.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 60001
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 70001
 
     from etl_work_flow_for_big_data_spark.queries import load_all
     from etl_work_flow_for_big_data_spark.session import get_spark
@@ -206,8 +231,9 @@ def main() -> None:
 
     for trial in range(n_trials):
         seed = base_seed + trial
+        skew = trial % 2 == 1
         rng = random.Random(seed)
-        tables = gen_tables(rng)
+        tables = gen_tables(rng, skew=skew)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -229,7 +255,8 @@ def main() -> None:
                     failures.append((seed, qname, f"{type(ex).__name__}: {ex}"[:300]))
                     print(f"seed={seed} {qname}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
             con.close()
-            print(f"trial seed={seed}: {n_ok}/{len(registry)} ok", flush=True)
+            mode = "skew" if skew else "flat"
+            print(f"trial seed={seed} [{mode}]: {n_ok}/{len(registry)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
