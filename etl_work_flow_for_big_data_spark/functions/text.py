@@ -272,8 +272,18 @@ def normalize_text(text: Column) -> Column:
     spells out Java's exact set; RE2 writes the same set as
     ``[ \\t\\n\\r\\f\\v]``.
 
+    The final trim strips ASCII space ONLY (after the collapse, any
+    leading/trailing whitespace-class run has already become one
+    ' '): Spark's ``trim`` strips exactly 0x20, but DuckDB's
+    one-argument ``trim`` strips *Unicode* whitespace — NBSP and
+    U+3000 included — so a default-trim mirror deletes a leading
+    NBSP that the canonical form deliberately keeps (NBSP is not in
+    the collapse class). Found by fuzz seed 70026 (a ``'\\xa0 \\r '``
+    document hashed as empty on duck, non-empty on Spark); the
+    mirror must pass duck's explicit trim char set ``' '``.
+
     DuckDB mirror: ``trim(regexp_replace(translate(text, 'A..Z',
-    'a..z'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))``."""
+    'a..z'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')``."""
     return F.trim(
         F.regexp_replace(
             F.translate(text, _AZ_UPPER, _AZ_LOWER), "[ \t\n\r\f\x0B]+", " "

@@ -187,7 +187,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     f"""
     SELECT doc_id,
-           md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS fp,
+           md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS fp,
            list_min(list_transform({_DUCK_SHINGLES}, __s -> md5(__s))) AS min_shingle_fp
     FROM documents
     ORDER BY doc_id
@@ -231,7 +231,7 @@ def text_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_exact",
     """
-    SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS text_hash,
+    SELECT md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')) AS text_hash,
            CAST(MIN(doc_id) AS BIGINT)  AS keeper_id,
            CAST(COUNT(*) AS BIGINT)     AS n_copies
     FROM documents
@@ -477,7 +477,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     k AS (
       SELECT MIN(doc_id) AS doc_id
-      FROM q GROUP BY md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g')))
+      FROM q GROUP BY md5(trim(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' '))
     ),
     u AS (SELECT q.* FROM q JOIN k USING (doc_id)),
     {_duck_rare_shingle_index("u")},

@@ -203,6 +203,21 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     ).collect()[0]  # 1-row bounds: plan-time scalar by contract
+    # Dense-grid span guard: the grid is min..max ts BY CONTRACT, so a
+    # single corrupt outlier timestamp (one 1901 row in a 2024 table)
+    # would silently multiply the output by centuries of empty hours —
+    # per event_type, as one F.sequence array. Fail with the actual
+    # bounds instead of OOMing mid-job; callers gapfilling dirty data
+    # should pre-filter to the intended range. 500k hours ≈ 57 years.
+    if b["lo"] is not None and b["hi"] is not None:
+        span_hours = (b["hi"] - b["lo"]).total_seconds() / 3600
+        if span_hours > 500_000:
+            raise ValueError(
+                f"ts_gapfill: hourly grid would span {span_hours:.0f} hours "
+                f"({b['lo']} .. {b['hi']}); an outlier timestamp is almost "
+                "certainly polluting the bounds — filter events.ts to the "
+                "intended range before gapfilling"
+            )
     grid = (
         ev.select("event_type")
         .distinct()

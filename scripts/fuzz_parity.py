@@ -13,7 +13,8 @@ divergence is replayable.
 
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 (base_seed convention: round N uses N*10000+1; odd trials run in
-zipf-skew key mode — see gen_tables and main.)
+zipf-skew key mode, and trials with index % 4 >= 2 additionally draw
+wide_ts extreme timestamps — see gen_tables and main.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 
@@ -97,21 +98,60 @@ def _rand_props(rng: random.Random) -> str | None:
     return "{\"k\": %s}" % k
 
 
-def _rand_ts(rng: random.Random) -> dt.datetime | None:
+# Extreme-timestamp pools for wide_ts mode: negative epochs (floor-vs-
+# trunc division on pre-1970 seconds is a classic engine divergence),
+# exact epoch zero, and the pandas ns-bound edges the parity layer's
+# Arrow conversion must survive. events.ts draws ONLY the near-epoch
+# pool — in wide mode the whole events timeline shifts to Dec 1969 /
+# Jan 1970, because ts_gapfill's dense grid is min..max ts by
+# contract and a 1901..2262 span is ~3.2M hours PER event_type: seed
+# 70103 OOM'd the harness JVM collecting that grid for parity. The
+# far pair still reaches o_orderdate / l_shipdate (filters, date
+# arithmetic, as-of joins — no dense grid on those columns).
+_WIDE_TS_NEAR = [
+    dt.datetime(1969, 12, 31, 23, 30, 1),
+    dt.datetime(1969, 12, 31, 22, 59, 59, 123456),
+    dt.datetime(1970, 1, 1, 0, 0, 0),
+    dt.datetime(1969, 12, 25, 2, 56, 15),
+    dt.datetime(1970, 1, 3, 13, 0, 7),
+]
+_WIDE_TS_FAR = _WIDE_TS_NEAR[:3] + [
+    dt.datetime(1901, 1, 1, 0, 0, 1),
+    dt.datetime(2262, 4, 11, 23, 47, 1),
+]
+
+
+def _rand_ts(rng: random.Random, wide: bool = False, far: bool = True) -> dt.datetime | None:
     if rng.random() < 0.08:
         return None
+    # wide mode consumes one extra rng draw per non-null call; wide=False
+    # stays byte-identical to the r6/r7 pinned seeds
+    if wide:
+        if rng.random() < 0.3:
+            return rng.choice(_WIDE_TS_FAR if far else _WIDE_TS_NEAR)
+        base = dt.datetime(2024, 1, 1) if far else dt.datetime(1969, 12, 1)
+        span = (90 if far else 61) * 86400
+        return base + dt.timedelta(seconds=rng.randrange(0, span), microseconds=rng.choice([0, 0, 123456]))
     base = dt.datetime(2024, 1, 1)
     return base + dt.timedelta(seconds=rng.randrange(0, 90 * 86400), microseconds=rng.choice([0, 0, 123456]))
 
 
-def gen_tables(rng: random.Random, skew: bool = False) -> dict[str, tuple[list, str]]:
+def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
     key-DISTRIBUTION pathology the value-pathology sweep can't reach:
     hash-agg spill paths, skewed shuffle joins, window partitions
     funneling half the table through one partition, and AQE skew-join
-    splits must all be result-invariant."""
+    splits must all be result-invariant.
+
+    ``wide_ts=True`` shifts events.ts to a near-epoch timeline
+    (negative-epoch seconds exercise floor-vs-trunc bucket division
+    in every window query while the gapfill grid stays small — see
+    _WIDE_TS_NEAR) and lets o_orderdate / l_shipdate draw the far
+    1901/2262 extremes (filters, date arithmetic, Arrow ns bounds).
+    Both flags default False and keep rng consumption byte-identical
+    to the pinned r6/r7 seeds."""
 
     def _key(hot, draw):
         # 50% hot key, else the table's normal draw; short-circuit
@@ -120,7 +160,7 @@ def gen_tables(rng: random.Random, skew: bool = False) -> dict[str, tuple[list, 
 
     n_ev = rng.randrange(8, 40)
     events = [
-        (i, _rand_ts(rng),
+        (i, _rand_ts(rng, wide_ts, far=False),
          _key(7, lambda: rng.choice([None, rng.randrange(-50, 50), rng.randrange(0, 9_007_199_254_740_993)])),
          _rand_text(rng), _rand_double(rng), _rand_props(rng))
         for i in range(n_ev)
@@ -159,7 +199,7 @@ def gen_tables(rng: random.Random, skew: bool = False) -> dict[str, tuple[list, 
     n_ord = rng.randrange(4, 16)
     orders = [
         (i, _key(2, lambda: rng.choice([None, rng.randrange(0, n_cust + 4)])),
-         rng.choice(["O", "F", "P", None]), _rand_double(rng), _rand_ts(rng),
+         rng.choice(["O", "F", "P", None]), _rand_double(rng), _rand_ts(rng, wide_ts),
          rng.choice(["1-URGENT", "5-LOW", "3-MEDIUM", "2-HIGH", None, ""]))
         for i in range(1, n_ord + 1)
     ]
@@ -175,7 +215,7 @@ def gen_tables(rng: random.Random, skew: bool = False) -> dict[str, tuple[list, 
              rng.choice([None, round(rng.uniform(0, 0.2), 2)]),
              rng.choice(["N", "R", "A", None]),
              rng.choice(["O", "F", None]),
-             _rand_ts(rng))
+             _rand_ts(rng, wide_ts))
         )
     return {
         "events": (events, "event_id long, ts timestamp, user_id long, "
@@ -215,8 +255,9 @@ def main() -> None:
     # re-running last round's seeds only re-proves the pinned fixes.
     # The swept range is recorded in SCALE.md each round. Odd trials
     # regenerate their tables in zipf-skew mode (hot join/group keys,
-    # see gen_tables), so a 20-trial sweep is 10 value-pathology + 10
-    # key-distribution trials.
+    # see gen_tables); trials with index % 4 >= 2 additionally draw
+    # extreme timestamps (wide_ts: negative epoch, epoch zero, pandas
+    # ns-bound edges). A 20-trial sweep is thus 5 of each mode combo.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 70001
 
@@ -232,8 +273,9 @@ def main() -> None:
     for trial in range(n_trials):
         seed = base_seed + trial
         skew = trial % 2 == 1
+        wide_ts = trial % 4 >= 2
         rng = random.Random(seed)
-        tables = gen_tables(rng, skew=skew)
+        tables = gen_tables(rng, skew=skew, wide_ts=wide_ts)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -255,7 +297,7 @@ def main() -> None:
                     failures.append((seed, qname, f"{type(ex).__name__}: {ex}"[:300]))
                     print(f"seed={seed} {qname}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
             con.close()
-            mode = "skew" if skew else "flat"
+            mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(registry)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -39,6 +39,13 @@ ADVERSARIAL_DOCS = [
     # not (normalize_text pins an explicit class), and full-Unicode
     # lower() diverges on İ (normalize_text ASCII-folds via translate)
     (11, "Mixed\x0bCase İstanbul I TEXT here", "tr", "webz", 30),
+    # leading NBSP / ideographic space: duck's ONE-argument trim strips
+    # Unicode whitespace where Spark trim strips only 0x20, so a
+    # default-trim normalize mirror hashed this as '' on duck and as
+    # '\xa0' on Spark (fuzz seed 70026) — the mirrors now pass duck's
+    # explicit trim set ' '; NBSP stays canonical content on both
+    (12, "\xa0 \r ", "en", "webz", 4),
+    (13, "　ideographic　margins　", "ja", "webz", 21),
 ]
 
 #: every registered query that reads ONLY the documents table
@@ -200,6 +207,30 @@ def test_adversarial_events_parity(
         spec.fn(spark, adversarial_events_dir),
         adversarial_events_duck.sql(spec.oracle),
     )
+
+
+def test_ts_gapfill_span_guard(spark, tmp_path):
+    """One corrupt 1901 timestamp in a 2024 table must raise the
+    dense-grid span guard (a clear error naming the bounds), not OOM
+    building a centuries-of-empty-hours grid per event_type — fuzz
+    seed 70103 killed the harness JVM exactly this way."""
+    import datetime as dt
+
+    from etl_work_flow_for_big_data_spark.queries import load_all
+
+    rows = [
+        (0, dt.datetime(1901, 1, 1, 0, 0, 1), 1, "a", 1.0, None),
+        (1, dt.datetime(2024, 1, 1), 1, "a", 2.0, None),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(str(tmp_path), "events.parquet"))
+    with pytest.raises(ValueError, match="gapfill.*span|polluting"):
+        load_all()["ts_gapfill"].fn(spark, str(tmp_path))
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,15 @@ round-boundary threat model). Two trials are pinned here:
   result-invariance of the skew paths (AQE skew-join splits,
   salted_join's salt fan-out, window partitions funneling half a
   table) against the exact oracle.
+- Seed 70026 (skew, round-7 extended sweep): generated a
+  ``'\\xa0 \\r '`` document whose normalize mirror hashed as '' on
+  duck (one-argument trim strips Unicode whitespace) but '\\xa0' on
+  Spark (trim strips only 0x20) — dedup_exact/text_fingerprint
+  diverged. The mirrors now pass duck's explicit trim set ``' '``;
+  this seed keeps the NBSP-margin shape in the net. (The pinned
+  seeds' shapes depend on the generator pools staying byte-stable —
+  extend coverage via NEW mode flags or the adversarial corpus, not
+  by mutating _CTRL/_WORDS.)
 
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
@@ -35,18 +44,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
-TRIALS = [(60001, False), (70002, True)]
+TRIALS = [(60001, False, False), (70002, True, False), (70026, True, False)]
 
 
 @pytest.fixture(
     scope="module",
     params=TRIALS,
-    ids=[f"seed{s}-{'skew' if k else 'flat'}" for s, k in TRIALS],
+    ids=[
+        f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}"
+        for s, k, w in TRIALS
+    ],
 )
 def fuzz_trial(request, spark, tmp_path_factory):
-    seed, skew = request.param
+    seed, skew, wide_ts = request.param
     tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
-    tables = gen_tables(random.Random(seed), skew=skew)
+    tables = gen_tables(random.Random(seed), skew=skew, wide_ts=wide_ts)
     con = duckdb.connect()
     for name, (rows, schema) in tables.items():
         (
