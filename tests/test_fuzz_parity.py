@@ -26,6 +26,12 @@ round-boundary threat model). Two trials are pinned here:
   seeds' shapes depend on the generator pools staying byte-stable —
   extend coverage via NEW mode flags or the adversarial corpus, not
   by mutating _CTRL/_WORDS.)
+- Seed 70104 (skew + wide_ts, round 7): events.ts lives on a
+  Dec-1969/Jan-1970 timeline (negative-epoch seconds through every
+  window bucket division) and o_orderdate/l_shipdate draw the
+  1901/2262 extremes (pandas ns-bound edges through the parity
+  layer), on top of the hot-key skew — the swept 70101-70116 range
+  was clean, and this trial keeps both modes composed in the net.
 
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
@@ -44,7 +50,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
-TRIALS = [(60001, False, False), (70002, True, False), (70026, True, False)]
+TRIALS = [
+    (60001, False, False),
+    (70002, True, False),
+    (70026, True, False),
+    (70104, True, True),
+]
 
 
 @pytest.fixture(
