@@ -481,3 +481,136 @@ def test_distributed_ntile_property_random_inputs(spark):
             ).collect()
         }
         assert got == want, f"case n={n_rows} k={k} parts={n_parts}"
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide shuffle budget. The targeted tests above pin the ONE
+# plan property each headline query lives or dies by; this pins an
+# Exchange-count ceiling for EVERY registered query, so an edit that
+# quietly adds a shuffle anywhere in the registry goes red with the
+# query's name — plan-quality regression as a unit failure, not a
+# bench archaeology session. Counts are the static (pre-AQE) physical
+# plan at sf0.001; they are ceilings, not equalities, so AQE runtime
+# coalescing and future shuffle REMOVALS stay green. If the driver
+# regenerates fixtures at very different sizes, static broadcast
+# decisions can flip a dim join to SMJ and trip a ceiling — that is a
+# real plan change worth a deliberate re-baseline, not noise.
+
+EXCHANGE_BUDGET = {
+    "window_rank": 1,
+    "agg_rollup": 1,
+    "agg_cube": 1,
+    "join_left": 1,
+    "join_semi": 0,
+    "agg_distinct": 2,
+    "agg_conditional": 1,
+    "agg_stats": 1,
+    "agg_pivot": 2,
+    "agg_unpivot": 1,
+    "profile_columns": 6,
+    "set_union": 6,
+    "sort_multi": 0,
+    "topk": 1,
+    "parse_json": 0,
+    "rate_charge": 1,
+    "agg_groupby": 1,
+    "dedup_components": 1,
+    "agg_grouping_sets": 1,
+    "case_map": 0,
+    "cast_types": 0,
+    "decontaminate": 2,
+    "dq_validate": 1,
+    "filter_bitmask": 0,
+    "join_broadcast": 1,
+    "join_salted": 0,
+    "mix_weighted": 0,
+    "mm_binary_meta": 0,
+    "mm_decode": 0,
+    "pack_sequences": 1,
+    "route_assign": 1,
+    "sim_ann_lsh": 1,
+    "sim_ann_multiprobe": 2,
+    "split_assign": 0,
+    "text_scrub": 0,
+    "text_token_regex": 0,
+    "text_tokens": 1,
+    "ts_gapfill": 2,
+    "mm_features": 0,
+    "mm_frames": 0,
+    "mm_resize": 0,
+    "parse_kv": 0,
+    "serialize_kv": 0,
+    "filter_required": 0,
+    "project_rename": 0,
+    "scalar_string_date": 0,
+    "serialize_json": 0,
+    "join_anti": 0,
+    "join_star": 1,
+    "join_range": 1,
+    "join_asof": 1,
+    "agg_approx_distinct": 2,
+    "window_analytic": 1,
+    "subquery_exists": 2,
+    "subquery_scalar": 2,
+    "tpch_q3_shipping_priority": 1,
+    "tpch_q10_returned_items": 1,
+    "tpch_q12_priority_by_tier": 1,
+    "null_handling": 0,
+    "agg_approx_quantile": 1,
+    "tpch_q14_promo_share": 1,
+    "tpch_q22_idle_customers": 3,
+    "tpch_q5_local_supplier_volume": 1,
+    "tpch_q18_large_orders": 1,
+    "merge_upsert": 1,
+    "window_ntile": 3,
+    "window_range_frame": 1,
+    "sim_topk": 1,
+    "sim_pairs": 2,
+    "sim_ivf_topk": 3,
+    "text_quality": 0,
+    "text_lang_id": 0,
+    "text_fingerprint": 0,
+    "dedup_exact": 1,
+    "dedup_ngram": 6,
+    "dedup_minhash": 1,
+    "dedup_simhash": 0,
+    "text_chunk": 0,
+    "dedup_apply": 7,
+    "llm_clean_corpus": 11,
+    "text_editdist": 0,
+    "window_tumbling": 1,
+    "window_sliding": 1,
+    "window_session": 1,
+}
+
+
+def _count_exchanges(df) -> int:
+    import io
+    import re as _re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return len(_re.findall(r"^\s*\(\d+\)\s+Exchange\b", buf.getvalue(), _re.M))
+
+
+def test_exchange_budget_names_every_query():
+    from etl_work_flow_for_big_data_spark.queries import load_all
+
+    assert sorted(EXCHANGE_BUDGET) == sorted(load_all()), (
+        "every registered query needs a pinned Exchange ceiling — add "
+        "new queries to EXCHANGE_BUDGET with their measured count"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(name, spark, sf_dir):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+
+    n = _count_exchanges(load_all()[name].fn(spark, sf_dir))
+    assert n <= EXCHANGE_BUDGET[name], (
+        f"{name}: physical plan has {n} Exchanges, budget is "
+        f"{EXCHANGE_BUDGET[name]} — an extra shuffle crept into the plan "
+        "(or a deliberate change needs a re-baseline here)"
+    )
