@@ -178,3 +178,54 @@ def test_tumbling_window_matches_bruteforce(spark, tmp_path):
         assert got == _ref_tumbling(evs), evs
 
     check()
+
+
+def _ref_sliding(evs):
+    """2h-size / 1h-slide: each event belongs to exactly the two
+    windows starting at trunc(hour) and trunc(hour) - 1h."""
+    by_start = defaultdict(list)
+    for u, m, qv in evs:
+        if m is None:
+            continue
+        t = _BASE + dt.timedelta(minutes=m)
+        h = t.replace(minute=0, second=0, microsecond=0)
+        for start in (h, h - dt.timedelta(hours=1)):
+            by_start[start].append(qv)
+    out = set()
+    for s, qvs in by_start.items():
+        vals = [qv * 0.25 for qv in qvs if qv is not None]
+        out.add(
+            (
+                s.strftime(_FMT),
+                len(qvs),
+                round(sum(vals), 2) if vals else None,
+            )
+        )
+    return out
+
+
+def test_sliding_window_matches_bruteforce(spark, tmp_path):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=240)),
+            st.one_of(st.none(), st.integers(min_value=-40, max_value=40)),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+    tmp = str(tmp_path)
+
+    @settings(max_examples=10, deadline=None)
+    @given(events)
+    def check(evs):
+        got = {
+            (r["window_start"], r["n_events"], r["total_value"])
+            for r in _run(spark, tmp, "window_sliding", _mkrows(evs))
+        }
+        assert got == _ref_sliding(evs), evs
+
+    check()
