@@ -67,66 +67,56 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Round-7 rotation
-# (VERDICT r6 "Next round" #1): the 14 queries whose last hard check
-# is round 4 lead — they are the rotation debt that keeps the "no
-# check older than two rounds" invariant alive — followed by the four
-# whose implementation r7 touched (parse_json's \A..\z gate anchors;
-# rate_charge/agg_groupby's rounded_mean now divides with exact long
-# `div`; dedup_components' rounds went single-job via lazy
-# checkpoints), then the full 20-query r5-checked set (at the
-# two-round edge; deferring any of them would make round 8's quota
-# 20+34 > 50 and break the invariant there). That is 38 named slots;
-# the remaining 12 fill from the r6-checked, untouched set in
-# registration order at the back, leaving 34 r6-checked queries whose
-# recheck is round 8's rotation debt (34 + 16 carryover fits its 50).
+# which queries receive a hard oracle check. Round-8 rotation
+# (VERDICT r7 "Next round" #1): round 7 checked exactly the first 50
+# of the r7 ordering, leaving 34 queries whose last hard check is
+# round 6 — they lead, restoring every query to ≤2-round staleness.
+# Round 8 touches no query implementation (its work is test/harness:
+# the tws processor unit test, the NULL-mode fuzz wave, the bench
+# fast path), so no changed-set slots are needed; the remaining 16
+# slots back-fill from the r7-checked set in registration order,
+# leaving 34 r7-checked queries as round 9's rotation debt
+# (34 + 16 carryover again fits its 50 — the cycle is steady-state).
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
 # receive a slot.
 _CHECK_PRIORITY = [
-    # -- last hard check round 4 (deferred by the r5 and r6 rotations;
-    #    r6's VERDICT makes them lead r7)
-    "window_rank",
-    "agg_rollup",
-    "agg_cube",
-    "join_left",
-    "join_semi",
-    "agg_distinct",
-    "agg_conditional",
-    "agg_stats",
-    "agg_pivot",
-    "agg_unpivot",
-    "profile_columns",
-    "set_union",
-    "sort_multi",
-    "topk",
-    # -- implementation touched in round 7
-    "parse_json",
-    "rate_charge",
-    "agg_groupby",
-    "dedup_components",
-    # -- last hard check round 5 (the two-round edge)
-    "agg_grouping_sets",
-    "case_map",
-    "cast_types",
-    "decontaminate",
-    "dq_validate",
-    "filter_bitmask",
-    "join_broadcast",
-    "join_salted",
-    "mix_weighted",
-    "mm_binary_meta",
-    "mm_decode",
-    "pack_sequences",
-    "route_assign",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "split_assign",
-    "text_scrub",
-    "text_token_regex",
-    "text_tokens",
-    "ts_gapfill",
+    # -- last hard check round 6 (deferred by the r7 rotation)
+    "join_asof",
+    "agg_approx_distinct",
+    "window_analytic",
+    "subquery_exists",
+    "subquery_scalar",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "null_handling",
+    "agg_approx_quantile",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "merge_upsert",
+    "window_ntile",
+    "window_range_frame",
+    "sim_topk",
+    "sim_pairs",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_chunk",
+    "dedup_apply",
+    "llm_clean_corpus",
+    "text_editdist",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
 ]
 
 

@@ -9,63 +9,57 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Every query whose implementation or oracle changed in round 7, plus
-# the round's rotation debt — these MUST receive a fresh driver hash
-# check, ahead of recently-checked unchanged queries. The stale sets
-# are the queries whose last hard driver check was round 4 (deferred
-# by the r5 AND r6 rotations — the contractual limit) or round 5 (the
-# two-round edge; deferring any would overflow round 8's 50-slot
-# quota, which already owes the 34 r6-checked queries).
-CHANGED_R7 = [
-    "parse_json",
-    "rate_charge",
-    "agg_groupby",
-    "dedup_components",
+# Round-8 rotation debt: round 7's driver check covered exactly the
+# first 50 of the r7 ordering (judge-verified), so these 34 queries'
+# last hard driver check is round 6 — the contractual two-round edge.
+# All of them MUST land inside round 8's 50-slot window. Round 8
+# changes no query implementation (its work is tests + harness), so
+# there is no changed-set; the 16 remaining slots back-fill from the
+# r7-checked set in registration order, leaving 34 r7-checked queries
+# as round 9's debt (again exactly 34 + 16 = 50).
+STALE_R6 = [
+    "join_asof",
+    "agg_approx_distinct",
+    "window_analytic",
+    "subquery_exists",
+    "subquery_scalar",
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_by_tier",
+    "null_handling",
+    "agg_approx_quantile",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_customers",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "merge_upsert",
+    "window_ntile",
+    "window_range_frame",
+    "sim_topk",
+    "sim_pairs",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_chunk",
+    "dedup_apply",
+    "llm_clean_corpus",
+    "text_editdist",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
 ]
-STALE_R4 = [
-    "window_rank",
-    "agg_rollup",
-    "agg_cube",
-    "join_left",
-    "join_semi",
-    "agg_distinct",
-    "agg_conditional",
-    "agg_stats",
-    "agg_pivot",
-    "agg_unpivot",
-    "profile_columns",
-    "set_union",
-    "sort_multi",
-    "topk",
-]
-STALE_R5 = [
-    "agg_grouping_sets",
-    "case_map",
-    "cast_types",
-    "decontaminate",
-    "dq_validate",
-    "filter_bitmask",
-    "join_broadcast",
-    "join_salted",
-    "mix_weighted",
-    "mm_binary_meta",
-    "mm_decode",
-    "pack_sequences",
-    "route_assign",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "split_assign",
-    "text_scrub",
-    "text_token_regex",
-    "text_tokens",
-    "ts_gapfill",
-]
+CHANGED_R8: list[str] = []  # no query implementation touched in round 8
 
 
 def test_changed_queries_all_inside_the_50_slot_window():
     names = list(load_all())
     first_50 = set(names[:50])
-    must_check = CHANGED_R7 + STALE_R4 + STALE_R5
+    must_check = CHANGED_R8 + STALE_R6
     missing = [n for n in must_check if n not in first_50]
     assert not missing, f"must-check queries outside the driver window: {missing}"
 
