@@ -42,6 +42,66 @@ RUNNING_TOTALS_STATE = "total_events long, total_value double"
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+# Spark's built-in default provider: the only value the tws path may
+# silently replace with RocksDB. An explicitly-set third provider is
+# the user's choice — respected, and Spark surfaces its own error if
+# transformWithState rejects it.
+_HDFS_DEFAULT_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+try:  # Spark 4.x; on 3.x the module is absent and the tws path is gated
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS_MODULE = True
+except ImportError:  # pragma: no cover — this repo pins pyspark 4.x
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = Any  # type: ignore[assignment,misc]
+    _HAS_TWS_MODULE = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """transformWithState processor for ``running_totals_per_key``:
+    one ValueState holding (total_events, total_value) per key.
+
+    Module-level (not a closure inside ``_totals_tws``) so its
+    accumulate/round semantics are unit-testable with a stub handle
+    even where protobuf — required only to EXECUTE the streaming query
+    — is unavailable (``tests/test_streaming.py``)."""
+
+    def __init__(self, key: str, value_col: str) -> None:
+        self._key = key
+        self._value_col = value_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", RUNNING_TOTALS_STATE)
+
+    def handleInputRows(
+        self, k: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+    ) -> Iterator[pd.DataFrame]:
+        prior = self._totals.get() if self._totals.exists() else (0, 0.0)
+        total_events, total_value = int(prior[0]), float(prior[1])
+        batch_events = 0
+        for pdf in rows:
+            batch_events += len(pdf)
+            total_events += len(pdf)
+            total_value += float(pdf[self._value_col].sum())
+        total_value = round(total_value, 6)
+        self._totals.update((total_events, total_value))
+        yield pd.DataFrame(
+            {
+                self._key: [k[0]],
+                "batch_events": [batch_events],
+                "total_events": [total_events],
+                "total_value": [total_value],
+            }
+        )
+
+    def close(self) -> None:
+        pass
 
 
 def tws_available() -> bool:
@@ -97,59 +157,42 @@ def running_totals_per_key(
 def _totals_tws(
     stream: DataFrame, key: str, value_col: str, output_schema: str
 ) -> DataFrame:
+    from pyspark.sql import GroupedData
+
+    # Both capability gates fail at BUILD time with a clear message —
+    # an explicit engine='tws' must never fall through to a raw
+    # AttributeError (Spark 3.x) or an opaque
+    # STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at query start
+    # (protobuf absent).
+    if not _HAS_TWS_MODULE or not hasattr(GroupedData, "transformWithStateInPandas"):
+        raise RuntimeError(
+            "transformWithStateInPandas requires Spark 4.x (the API is "
+            "absent on this runtime); use engine='applyinpandas'"
+        )
     try:
         from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:  # fail at BUILD time with a clear message
+    except ImportError as exc:
         raise ImportError(
             "transformWithStateInPandas requires the protobuf package "
             "(its Python state server speaks protobuf to the JVM); "
             "install protobuf or use engine='applyinpandas'"
         ) from exc
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    class _RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", RUNNING_TOTALS_STATE)
-
-        def handleInputRows(
-            self, k: tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
-        ) -> Iterator[pd.DataFrame]:
-            prior = self._totals.get() if self._totals.exists() else (0, 0.0)
-            total_events, total_value = int(prior[0]), float(prior[1])
-            batch_events = 0
-            for pdf in rows:
-                batch_events += len(pdf)
-                total_events += len(pdf)
-                total_value += float(pdf[value_col].sum())
-            total_value = round(total_value, 6)
-            self._totals.update((total_events, total_value))
-            yield pd.DataFrame(
-                {
-                    key: [k[0]],
-                    "batch_events": [batch_events],
-                    "total_events": [total_events],
-                    "total_value": [total_value],
-                }
-            )
-
-        def close(self) -> None:
-            pass
 
     # transformWithState requires the RocksDB state store provider;
-    # the HDFS-backed default errors at query start. Set it on the
-    # stream's session only if the session still carries the default
-    # — an explicit user-chosen provider is respected (and a
-    # non-RocksDB choice will surface Spark's own clear error).
+    # the HDFS-backed DEFAULT errors at query start, so only the
+    # unset/default conf is auto-upgraded to RocksDB. Any explicitly
+    # user-set provider — RocksDB-derived or otherwise — is respected
+    # as-is; if transformWithState rejects it, Spark's own error names
+    # the conf, which beats silently overriding a deliberate choice
+    # (the override is session-global and would also flip providers
+    # under unrelated queries started later in the session).
     spark = stream.sparkSession
     conf_key = "spark.sql.streaming.stateStore.providerClass"
     current = spark.conf.get(conf_key, "")
-    if "RocksDB" not in current:
+    if current in ("", _HDFS_DEFAULT_PROVIDER):
         spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
     return stream.groupBy(key).transformWithStateInPandas(
-        statefulProcessor=_RunningTotals(),
+        statefulProcessor=RunningTotalsProcessor(key, value_col),
         outputStructType=output_schema,
         outputMode="Update",
         timeMode="None",

@@ -213,6 +213,89 @@ def test_kv_text_write_newline_in_value_fails(spark, tmp_path):
         write_kv_text(bad, str(tmp_path / "bad"))
 
 
+class _StubValueState:
+    """Duck-typed ValueState: exists/get/update, no JVM behind it."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _StubHandle:
+    """Duck-typed StatefulProcessorHandle serving stub ValueStates."""
+
+    def __init__(self):
+        self.states = {}
+        self.requested_schemas = {}
+
+    def getValueState(self, name, schema):
+        self.requested_schemas[name] = schema
+        return self.states.setdefault(name, _StubValueState())
+
+
+def test_tws_processor_semantics_without_protobuf():
+    """RunningTotalsProcessor's accumulate/round semantics, driven
+    directly with a stub handle — protobuf is needed only to EXECUTE
+    a transformWithState query (its Python state server), not to
+    exercise the processor logic, so this coverage holds even in the
+    sandbox where the streaming-integration tws test must skip
+    (VERDICT r7 'Next round' #2)."""
+    import pandas as pd
+
+    from etl_work_flow_for_big_data_spark.streaming.stateful import (
+        RUNNING_TOTALS_STATE,
+        RunningTotalsProcessor,
+    )
+
+    handle = _StubHandle()
+    proc = RunningTotalsProcessor("user_id", "value")
+    proc.init(handle)
+    assert handle.requested_schemas == {"totals": RUNNING_TOTALS_STATE}
+
+    # first micro-batch for key 1: two Arrow chunks, fresh state
+    out1 = list(
+        proc.handleInputRows(
+            (1,),
+            iter([
+                pd.DataFrame({"value": [10.0, 5.0]}),
+                pd.DataFrame({"value": [2.5]}),
+            ]),
+            None,
+        )
+    )
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (row["user_id"], row["batch_events"]) == (1, 3)
+    assert (row["total_events"], row["total_value"]) == (3, 17.5)
+    assert list(out1[0].columns) == [
+        "user_id", "batch_events", "total_events", "total_value",
+    ]
+
+    # second micro-batch CONTINUES from state; the restart analog is a
+    # NEW processor instance re-init'ed on the same handle (state came
+    # back from the checkpoint, the object did not)
+    proc2 = RunningTotalsProcessor("user_id", "value")
+    proc2.init(handle)
+    out2 = list(
+        proc2.handleInputRows((1,), iter([pd.DataFrame({"value": [0.1, 0.2]})]), None)
+    )
+    row2 = out2[0].iloc[0]
+    assert (row2["batch_events"], row2["total_events"]) == (2, 5)
+    # 17.5 + 0.1 + 0.2 binary-float drift is squashed by the round-6
+    # contract (matches the legacy engine's emitted values)
+    assert row2["total_value"] == 17.8
+    assert handle.states["totals"].get() == (5, 17.8)
+    proc2.close()
+
+
 def test_stateful_engine_gate_negative_paths(spark):
     """The tws capability gate is honest, not a silent downgrade:
     engine='auto' on a runtime without protobuf builds the legacy
