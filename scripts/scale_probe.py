@@ -32,9 +32,18 @@ identical twins). Instead, per replica i:
   broadcast-ability the plans rely on is exactly what this probe
   should validate.
 
-Usage: python scripts/scale_probe.py [out_json]
-Writes one JSON object {query: {"1": s, "2": s, "4": s, "8": s,
-"alpha": a}} and prints a table. ~10-15 min on an idle local[32].
+Usage: python scripts/scale_probe.py [out_json] [factors_csv] [queries_csv]
+Defaults: factors 1,2,4,8 over the full HEADLINE set (~10-15 min on an
+idle local[32]). The r8 deep probe narrows to the operators whose
+x1..x8 alpha was still overhead-masked and pushes them to x16/x32,
+where fixed job overhead amortizes and data-proportional cost shows::
+
+    python scripts/scale_probe.py /tmp/deep.json 1,4,16,32 \
+        llm_clean_corpus,dedup_apply
+
+Writes one JSON object {query: {"<k>": sec, ..., "alpha": a,
+"alpha_tail": at}}: alpha is the full-range log-log slope, alpha_tail
+the slope over the last doubling — the overhead-free estimate.
 """
 
 from __future__ import annotations
@@ -75,6 +84,13 @@ HEADLINE = [
 ]
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 _VOWS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeiou"[::-1], "eioua"[::-1], "iouae"[::-1]]
+# Consonant rotations compose with the vowel maps to 32 distinct
+# translate maps for the x16/x32 deep probe — without this, replica
+# i and i+8 would carry byte-identical text and the dedup families
+# would see a pathological n/8-clone cluster per document instead of
+# sf0.1's duplicate density. Index 0 is the identity so replicas 1-7
+# stay byte-identical to the r7-recorded x1..x8 derivation.
+_CONS = ["bcdfgh", "cdfghb", "dfghbc", "fghbcd"]
 
 
 def _replica(spark, table, i):
@@ -92,8 +108,10 @@ def _replica(spark, table, i):
         return (df.withColumn("event_id", F.col("event_id") + shift)
                   .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000)))
     if table == "documents":
+        src = _VOWS[0] + _CONS[0]
+        dst = _VOWS[i % len(_VOWS)] + _CONS[(i // len(_VOWS)) % len(_CONS)]
         return (df.withColumn("doc_id", F.col("doc_id") + shift)
-                  .withColumn("text", F.translate("text", _VOWS[0], _VOWS[i % len(_VOWS)])))
+                  .withColumn("text", F.translate("text", src, dst)))
     if table == "embeddings":
         jitter = F.transform(
             "embedding",
@@ -108,6 +126,12 @@ def build_fixture(spark, k, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     for table in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
         dst = os.path.join(out_dir, f"{table}.parquet")
+        # atomic build: write to a temp dir, rename into place on
+        # success — a partially-written dir left by a crashed previous
+        # run must never be silently reused (it would skew the curves);
+        # the rename makes "dst exists" equal "dst is complete".
+        tmp = dst + "__building"
+        shutil.rmtree(tmp, ignore_errors=True)
         if os.path.exists(dst):
             continue
         if table in DIMS or k == 1:
@@ -116,11 +140,17 @@ def build_fixture(spark, k, out_dir):
             df = _replica(spark, table, 0)
             for i in range(1, k):
                 df = df.unionByName(_replica(spark, table, i))
-        df.write.mode("overwrite").parquet(dst)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, dst)
 
 
 def main() -> None:
+    import math
+
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_probe.json"
+    factors = ([int(x) for x in sys.argv[2].split(",")]
+               if len(sys.argv) > 2 else FACTORS)
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else HEADLINE
 
     from etl_work_flow_for_big_data_spark.queries import load_all
     from etl_work_flow_for_big_data_spark.session import get_spark
@@ -130,16 +160,16 @@ def main() -> None:
     registry = load_all()
 
     dirs = {}
-    for k in FACTORS:
+    for k in factors:
         d = f"/tmp/scale_probe_x{k}"
         build_fixture(spark, k, d)
         dirs[k] = d
 
     results = {}
-    for name in HEADLINE:
+    for name in queries:
         spec = registry[name]
         results[name] = {}
-        for k in FACTORS:
+        for k in factors:
             times = []
             for _ in range(3):
                 t0 = time.time()
@@ -148,18 +178,26 @@ def main() -> None:
                 spec.fn(spark, dirs[k]).write.mode("overwrite").format("noop").save()
                 times.append(time.time() - t0)
             results[name][str(k)] = round(sorted(times)[1], 3)
-        import math
-
-        t1, t8 = results[name]["1"], results[name]["8"]
-        alpha = math.log(max(t8, 1e-9) / max(t1, 1e-9)) / math.log(8)
+        lo, hi = factors[0], factors[-1]
+        t_lo, t_hi = results[name][str(lo)], results[name][str(hi)]
+        alpha = math.log(max(t_hi, 1e-9) / max(t_lo, 1e-9)) / math.log(hi / lo)
         results[name]["alpha"] = round(alpha, 2)
-        print(f"{name:28s} " + "  ".join(f"x{k}:{results[name][str(k)]:6.2f}s" for k in FACTORS)
-              + f"  alpha={alpha:5.2f}", flush=True)
+        if len(factors) >= 3:
+            # slope over the last step: fixed overhead has amortized,
+            # so this is the data-proportional-regime estimate
+            p = factors[-2]
+            t_p = results[name][str(p)]
+            tail = math.log(max(t_hi, 1e-9) / max(t_p, 1e-9)) / math.log(hi / p)
+            results[name]["alpha_tail"] = round(tail, 2)
+        print(f"{name:28s} " + "  ".join(f"x{k}:{results[name][str(k)]:6.2f}s" for k in factors)
+              + f"  alpha={alpha:5.2f}"
+              + (f"  tail={results[name].get('alpha_tail'):5.2f}" if "alpha_tail" in results[name] else ""),
+              flush=True)
 
     with open(out_json, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     print(f"\nwritten {out_json}", flush=True)
-    for k in FACTORS:
+    for k in factors:
         shutil.rmtree(dirs[k], ignore_errors=True)
 
 
