@@ -134,6 +134,17 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     (an ANSI plain cast of ±Inf to BIGINT kills the task; duck's
     TRY_CAST mirrors the NULL).
 
+    MAGNITUDE CONTRACT per out_dec: the ``·10^(out_dec-2)`` rescale
+    spends headroom, so ``2·|SUM(x)·100| + n`` must stay within long
+    at the RESCALED width — exact/non-overflowing while
+    ``|SUM(x)·100| < ~4.6e18 / 10^(out_dec-2)``: ~4.6e18 at
+    out_dec=2 (far past SF 1000 for price columns) but ~4.6e16 at
+    out_dec=4 — ample for its current bounded-[0,1] discount-column
+    use (avg_disc: |SUM|·100 ≤ 100·rowcount), NOT for price-scale
+    columns, where ANSI turns the long overflow into a task-killing
+    error rather than a NULL. A new out_dec≥4 use on an unbounded
+    column needs a try_multiply guard first.
+
     DuckDB mirror (same aliases)::
 
         (CASE WHEN TRY_CAST(ROUND(SUM(x)*100, 0) AS BIGINT) < 0
