@@ -13,8 +13,10 @@ divergence is replayable.
 
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 (base_seed convention: round N uses N*10000+1; odd trials run in
-zipf-skew key mode, and trials with index % 4 >= 2 additionally draw
-wide_ts extreme timestamps — see gen_tables and main.)
+zipf-skew key mode, trials with index % 4 >= 2 additionally draw
+wide_ts extreme timestamps, and trials with index % 8 >= 4 run
+null_heavy — 30-50% NULLs in every nullable column simultaneously —
+see gen_tables and main.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 
@@ -136,7 +138,49 @@ def _rand_ts(rng: random.Random, wide: bool = False, far: bool = True) -> dt.dat
     return base + dt.timedelta(seconds=rng.randrange(0, 90 * 86400), microseconds=rng.choice([0, 0, 123456]))
 
 
-def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False) -> dict[str, tuple[list, str]]:
+# Nullable column INDICES per generated table for null_heavy mode —
+# every column the schema allows to be NULL except primary ids
+# (the fixture contract keeps ids non-null). Join keys (user_id,
+# o_custkey, l_orderkey), agg inputs, and window order keys (ts) are
+# all included, so the density pathology hits them simultaneously.
+_NULLABLE = {
+    "events": [1, 2, 3, 4, 5],
+    "documents": [1, 2, 3, 4],
+    "embeddings": [1, 2],
+    "customer": [1, 2, 3, 4],
+    "orders": [1, 2, 3, 4, 5],
+    "lineitem": [0, 4, 5, 6, 7, 8, 9, 10],
+}
+
+
+def _nullify(tables: dict, rng: random.Random) -> dict:
+    """null_heavy mode: re-draw 30-50% of EVERY nullable column to
+    NULL simultaneously (rate drawn once per table). The base
+    generator's ~8% per-column NULLs probe value totality; this
+    probes DENSITY — COUNT vs COUNT(col) splits, null-key join drops,
+    window frames ordered by mostly-NULL keys, agg groups that are
+    entirely NULL. Post-pass over the generated rows, so the base
+    generator's rng consumption (and the r6/r7 pinned seeds) stays
+    byte-identical when the mode is off."""
+    out = dict(tables)
+    for name, idxs in _NULLABLE.items():
+        rows, schema = tables[name]
+        rate = 0.3 + 0.2 * rng.random()
+        out[name] = (
+            [
+                tuple(
+                    None if j in idxs and rng.random() < rate else v
+                    for j, v in enumerate(r)
+                )
+                for r in rows
+            ],
+            schema,
+        )
+    return out
+
+
+def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
+               null_heavy: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
@@ -150,7 +194,12 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False) ->
     in every window query while the gapfill grid stays small — see
     _WIDE_TS_NEAR) and lets o_orderdate / l_shipdate draw the far
     1901/2262 extremes (filters, date arithmetic, Arrow ns bounds).
-    Both flags default False and keep rng consumption byte-identical
+
+    ``null_heavy=True`` (r8, the density axis) re-draws 30-50% of
+    every nullable column — join keys, agg inputs, window order keys
+    at once — to NULL in a post-pass (see ``_nullify``).
+
+    All flags default False and keep rng consumption byte-identical
     to the pinned r6/r7 seeds."""
 
     def _key(hot, draw):
@@ -217,7 +266,7 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False) ->
              rng.choice(["O", "F", None]),
              _rand_ts(rng, wide_ts))
         )
-    return {
+    tables = {
         "events": (events, "event_id long, ts timestamp, user_id long, "
                    "event_type string, value double, props string"),
         "documents": (docs, "doc_id long, text string, lang string, "
@@ -244,6 +293,7 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False) ->
                  "p_partkey long, p_name string, p_brand string, p_type string, "
                  "p_size int, p_retailprice double"),
     }
+    return _nullify(tables, rng) if null_heavy else tables
 
 
 def main() -> None:
@@ -257,9 +307,11 @@ def main() -> None:
     # regenerate their tables in zipf-skew mode (hot join/group keys,
     # see gen_tables); trials with index % 4 >= 2 additionally draw
     # extreme timestamps (wide_ts: negative epoch, epoch zero, pandas
-    # ns-bound edges). A 20-trial sweep is thus 5 of each mode combo.
+    # ns-bound edges); trials with index % 8 >= 4 additionally run
+    # null_heavy (30-50% NULLs in every nullable column — the density
+    # axis, r8). A 40-trial sweep is thus 5 of each 3-flag combo.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 70001
+    base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 80001
 
     from etl_work_flow_for_big_data_spark.queries import load_all
     from etl_work_flow_for_big_data_spark.session import get_spark
@@ -274,8 +326,9 @@ def main() -> None:
         seed = base_seed + trial
         skew = trial % 2 == 1
         wide_ts = trial % 4 >= 2
+        null_heavy = trial % 8 >= 4
         rng = random.Random(seed)
-        tables = gen_tables(rng, skew=skew, wide_ts=wide_ts)
+        tables = gen_tables(rng, skew=skew, wide_ts=wide_ts, null_heavy=null_heavy)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -297,7 +350,8 @@ def main() -> None:
                     failures.append((seed, qname, f"{type(ex).__name__}: {ex}"[:300]))
                     print(f"seed={seed} {qname}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
             con.close()
-            mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "")
+            mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "") \
+                + ("+null" if null_heavy else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(registry)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

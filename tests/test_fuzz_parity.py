@@ -32,6 +32,13 @@ round-boundary threat model). Two trials are pinned here:
   1901/2262 extremes (pandas ns-bound edges through the parity
   layer), on top of the hot-key skew — the swept 70101-70116 range
   was clean, and this trial keeps both modes composed in the net.
+- Seed 80008 (skew + wide_ts + null_heavy, round 8): the density
+  axis — 30-50% of EVERY nullable column NULL simultaneously (join
+  keys, agg inputs, window order keys at once, see _nullify),
+  composed with the hot-key and extreme-timestamp modes. Pins the
+  COUNT-vs-COUNT(col) splits, null-key join drops, and mostly-NULL
+  window order frames against the exact oracle; the 80001-80040
+  sweep (20 null-heavy trials) ran clean.
 
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
@@ -51,10 +58,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 from fuzz_parity import gen_tables  # noqa: E402
 
 TRIALS = [
-    (60001, False, False),
-    (70002, True, False),
-    (70026, True, False),
-    (70104, True, True),
+    (60001, False, False, False),
+    (70002, True, False, False),
+    (70026, True, False, False),
+    (70104, True, True, False),
+    (80008, True, True, True),
 ]
 
 
@@ -62,14 +70,16 @@ TRIALS = [
     scope="module",
     params=TRIALS,
     ids=[
-        f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}"
-        for s, k, w in TRIALS
+        f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}{'-null' if nh else ''}"
+        for s, k, w, nh in TRIALS
     ],
 )
 def fuzz_trial(request, spark, tmp_path_factory):
-    seed, skew, wide_ts = request.param
+    seed, skew, wide_ts, null_heavy = request.param
     tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
-    tables = gen_tables(random.Random(seed), skew=skew, wide_ts=wide_ts)
+    tables = gen_tables(
+        random.Random(seed), skew=skew, wide_ts=wide_ts, null_heavy=null_heavy
+    )
     con = duckdb.connect()
     for name, (rows, schema) in tables.items():
         (
