@@ -436,9 +436,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2)      AS sum_price
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     ORDER BY status, priority
     """,
-    doc="D4 rollup/grouping sets",
+    doc="D4 rollup/grouping sets. HAVING COUNT(*) > 0 pins the Spark "
+    "empty-input semantics in the oracle: Spark's Expand-based "
+    "rollup/cube emits ZERO rows over an empty relation (no input "
+    "rows to replicate per grouping set) where DuckDB/PostgreSQL "
+    "emit the standard's lone grand-total row; on non-empty input "
+    "every grouping row aggregates >=1 row so the clause is inert "
+    "(found by the r8 tiny-cardinality fuzz axis).",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -681,9 +688,12 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(o_totalprice), 2)      AS sum_price
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     ORDER BY status, priority
     """,
-    doc="D4 cube (all grouping-set combinations; the rollup twin)",
+    doc="D4 cube (all grouping-set combinations; the rollup twin). "
+    "HAVING COUNT(*) > 0 pins Spark's zero-rows-on-empty-input Expand "
+    "semantics — see agg_rollup.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -1260,10 +1270,14 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH one AS (
       SELECT
-        SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END)  AS qty_positive,
-        SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END) AS discount_unit_range,
-        SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END) AS returnflag_domain,
-        SUM(CASE WHEN NOT COALESCE(l_shipdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS shipdate_sane
+        -- COALESCE(..., 0): SUM over an empty relation is NULL, but the
+        -- operator's contract is "0 violations on empty input" (empty
+        -- batches are a normal pipeline condition) — found by the r8
+        -- tiny-cardinality fuzz axis
+        COALESCE(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE) THEN 1 ELSE 0 END), 0)  AS qty_positive,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE) THEN 1 ELSE 0 END), 0) AS discount_unit_range,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 ELSE 0 END), 0) AS returnflag_domain,
+        COALESCE(SUM(CASE WHEN NOT COALESCE(l_shipdate >= TIMESTAMP '1990-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END), 0) AS shipdate_sane
       FROM lineitem
     )
     SELECT 'qty_positive' AS rule, CAST(qty_positive AS BIGINT) AS n_violations FROM one
@@ -1368,11 +1382,13 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(value), 2)         AS total_value
     FROM events
     GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
+    HAVING COUNT(*) > 0
     """,
     doc="D4 explicit GROUPING SETS (the third form next to rollup and "
     "cube): detail, per-type subtotal, and grand total in ONE pass — "
     "Spark plans the same Expand that rollup/cube use, one replica "
-    "per grouping set.",
+    "per grouping set. HAVING COUNT(*) > 0 pins Spark's "
+    "zero-rows-on-empty-input Expand semantics — see agg_rollup.",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")

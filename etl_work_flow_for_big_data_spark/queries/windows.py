@@ -203,21 +203,33 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     ).collect()[0]  # 1-row bounds: plan-time scalar by contract
+    if b["lo"] is None or b["hi"] is None:
+        # Empty events (or every ts NULL): the dense grid min..max is
+        # empty by definition. Return a 0-row frame with the contract
+        # schema instead of letting sequence(NULL, NULL, interval)
+        # fail analysis — the oracle agrees (duck's unnest(
+        # generate_series(NULL, NULL, ...)) yields no rows). Found by
+        # the r8 tiny-cardinality fuzz axis; at scale this is the
+        # partition-pruned-to-nothing read, not a corner case.
+        return spark.createDataFrame(
+            [],
+            "event_type string, hour_ts string, n_events bigint, "
+            "sum_value double, ffill_sum double",
+        )
     # Dense-grid span guard: the grid is min..max ts BY CONTRACT, so a
     # single corrupt outlier timestamp (one 1901 row in a 2024 table)
     # would silently multiply the output by centuries of empty hours —
     # per event_type, as one F.sequence array. Fail with the actual
     # bounds instead of OOMing mid-job; callers gapfilling dirty data
     # should pre-filter to the intended range. 500k hours ≈ 57 years.
-    if b["lo"] is not None and b["hi"] is not None:
-        span_hours = (b["hi"] - b["lo"]).total_seconds() / 3600
-        if span_hours > 500_000:
-            raise ValueError(
-                f"ts_gapfill: hourly grid would span {span_hours:.0f} hours "
-                f"({b['lo']} .. {b['hi']}); an outlier timestamp is almost "
-                "certainly polluting the bounds — filter events.ts to the "
-                "intended range before gapfilling"
-            )
+    span_hours = (b["hi"] - b["lo"]).total_seconds() / 3600
+    if span_hours > 500_000:
+        raise ValueError(
+            f"ts_gapfill: hourly grid would span {span_hours:.0f} hours "
+            f"({b['lo']} .. {b['hi']}); an outlier timestamp is almost "
+            "certainly polluting the bounds — filter events.ts to the "
+            "intended range before gapfilling"
+        )
     grid = (
         ev.select("event_type")
         .distinct()

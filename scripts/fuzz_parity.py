@@ -14,9 +14,11 @@ divergence is replayable.
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 (base_seed convention: round N uses N*10000+1; odd trials run in
 zipf-skew key mode, trials with index % 4 >= 2 additionally draw
-wide_ts extreme timestamps, and trials with index % 8 >= 4 run
+wide_ts extreme timestamps, trials with index % 8 >= 4 run
 null_heavy — 30-50% NULLs in every nullable column simultaneously —
-see gen_tables and main.)
+trials with index % 16 >= 8 run tiny — non-dim tables truncated to
+0/1/2 rows — and trials with index % 32 >= 16 run astral —
+supplementary-plane text splices; see gen_tables and main.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 
@@ -153,6 +155,78 @@ _NULLABLE = {
 }
 
 
+# Supplementary-plane pool for astral mode: plain emoji (one
+# codepoint, surrogate PAIR in any UTF-16 engine), a skin-tone
+# modifier sequence, a ZWJ sequence, a regional-indicator flag pair,
+# mathematical alphanumerics, and an Egyptian hieroglyph — the
+# codepoint-vs-byte-vs-code-unit pathologies the BMP pools
+# (_WORDS/_CTRL, all <= U+02FF) cannot reach.
+_ASTRAL = ["\U0001F600", "\U0001F680\U0001F30D", "\U0001D518\U0001D52B",
+           "\U0001F44D\U0001F3FD", "\U0001F1FA\U0001F1F8",
+           "\U0001D7D8\U0001D7D9", "\U0001F9D1\u200d\U0001F4BB",
+           "\U00013000", "\U0001F4AF"]
+
+
+def _astralize(tables: dict, rng: random.Random) -> dict:
+    """astral mode: splice supplementary-plane text (emoji, surrogate
+    pairs, ZWJ/flag sequences, math alphanumerics) into the
+    text-bearing columns the text/dedup suite consumes —
+    documents.text, events.event_type, customer.c_name. Probes
+    codepoint-vs-byte alignment past the BMP: length/substring
+    semantics, regex ``.`` over supplementary codepoints, shingle
+    boundaries, UTF-8 hashing. Post-pass, so the base generator's rng
+    consumption (and every pinned seed) stays byte-identical with the
+    mode off; documents.n_chars is recomputed (Python codepoint
+    length) whenever a splice changes the text, and the forced
+    doc 0/1 exact duplicate is re-applied so the dedup family stays
+    non-vacuous under splicing."""
+    out = dict(tables)
+    targets = {"documents": [1], "events": [3], "customer": [1]}
+    for name, idxs in targets.items():
+        rows, schema = tables[name]
+        new_rows = []
+        for r in rows:
+            r = list(r)
+            for j in idxs:
+                if r[j] is not None and rng.random() < 0.6:
+                    a = rng.choice(_ASTRAL)
+                    roll = rng.random()
+                    if roll < 0.34:
+                        r[j] = a + r[j]
+                    elif roll < 0.67:
+                        r[j] = r[j] + a
+                    else:
+                        mid = len(r[j]) // 2
+                        r[j] = r[j][:mid] + a + r[j][mid:]
+                    if name == "documents":
+                        r[4] = len(r[1])
+            new_rows.append(tuple(r))
+        if name == "documents" and len(new_rows) >= 4 and new_rows[0][1] is not None:
+            # mirror gen_tables' forced exact duplicate
+            new_rows[1] = (new_rows[1][0],) + new_rows[0][1:]
+        out[name] = (new_rows, schema)
+    return out
+
+
+def _truncate(tables: dict, rng: random.Random) -> dict:
+    """tiny mode: cardinality degeneracy — every non-dim table is
+    independently truncated to 0, 1, or 2 rows. The base generator
+    never draws below 3 rows per table, so empty-input behavior is an
+    unsampled axis: empty window partitions, aggs over zero groups,
+    joins with an empty side, gapfill with no min/max ts, dedup over
+    an empty corpus, ANN with no vectors, centroid seeding with fewer
+    points than k. At 100 TB this is the partition-pruned-to-nothing
+    read, not a corner case. Post-pass (keeps pinned seeds
+    byte-identical with the mode off); dims stay intact."""
+    out = dict(tables)
+    for name in ("events", "documents", "embeddings", "customer",
+                 "orders", "lineitem"):
+        rows, schema = tables[name]
+        n = rng.choice([0, 0, 1, 2])
+        out[name] = (rows[:n], schema)
+    return out
+
+
 def _nullify(tables: dict, rng: random.Random) -> dict:
     """null_heavy mode: re-draw 30-50% of EVERY nullable column to
     NULL simultaneously (rate drawn once per table). The base
@@ -180,7 +254,8 @@ def _nullify(tables: dict, rng: random.Random) -> dict:
 
 
 def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
-               null_heavy: bool = False) -> dict[str, tuple[list, str]]:
+               null_heavy: bool = False, tiny: bool = False,
+               astral: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
@@ -199,8 +274,20 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
     every nullable column — join keys, agg inputs, window order keys
     at once — to NULL in a post-pass (see ``_nullify``).
 
+    ``tiny=True`` (r8, the cardinality axis) truncates every non-dim
+    table to 0/1/2 rows in a post-pass (see ``_truncate``); the base
+    generator never draws below 3 rows, so empty-input operator
+    behavior is otherwise unsampled.
+
+    ``astral=True`` (r8, the supplementary-plane text axis) splices
+    emoji / surrogate-pair / ZWJ-sequence text into the text-bearing
+    columns in a post-pass (see ``_astralize``); the base pools top
+    out at U+02FF.
+
     All flags default False and keep rng consumption byte-identical
-    to the pinned r6/r7 seeds."""
+    to the pinned r6/r7 seeds. Post-pass order: nullify, astralize,
+    truncate (density before splicing before cardinality, so a tiny
+    table's surviving rows still carry the composed pathologies)."""
 
     def _key(hot, draw):
         # 50% hot key, else the table's normal draw; short-circuit
@@ -293,7 +380,13 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
                  "p_partkey long, p_name string, p_brand string, p_type string, "
                  "p_size int, p_retailprice double"),
     }
-    return _nullify(tables, rng) if null_heavy else tables
+    if null_heavy:
+        tables = _nullify(tables, rng)
+    if astral:
+        tables = _astralize(tables, rng)
+    if tiny:
+        tables = _truncate(tables, rng)
+    return tables
 
 
 def main() -> None:
@@ -327,8 +420,11 @@ def main() -> None:
         skew = trial % 2 == 1
         wide_ts = trial % 4 >= 2
         null_heavy = trial % 8 >= 4
+        tiny = trial % 16 >= 8
+        astral = trial % 32 >= 16
         rng = random.Random(seed)
-        tables = gen_tables(rng, skew=skew, wide_ts=wide_ts, null_heavy=null_heavy)
+        tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
+                            null_heavy=null_heavy, tiny=tiny, astral=astral)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -351,7 +447,8 @@ def main() -> None:
                     print(f"seed={seed} {qname}: ERROR {type(ex).__name__}: {str(ex)[:160]}", flush=True)
             con.close()
             mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "") \
-                + ("+null" if null_heavy else "")
+                + ("+null" if null_heavy else "") + ("+tiny" if tiny else "") \
+                + ("+astral" if astral else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(registry)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
