@@ -712,12 +712,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# {orders}/{lineitem} are templated table refs: Spark binds them to
+# DataFrames via spark.sql(**kwargs) — no session-global temp view, so
+# concurrent queries over different sf_dirs can't stomp each other's
+# name bindings — and the oracle .format()s the plain view names back
+# in, keeping ONE source string for both engines.
 _SUBQ_EXISTS_SQL = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders
-    FROM orders o
+    FROM {orders} o
     WHERE EXISTS (
-      SELECT 1 FROM lineitem l
+      SELECT 1 FROM {lineitem} l
       WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
     )
     GROUP BY o_orderpriority
@@ -727,22 +732,24 @@ _SUBQ_EXISTS_SQL = """
 
 @query(
     "subquery_exists",
-    _SUBQ_EXISTS_SQL,
+    _SUBQ_EXISTS_SQL.format(orders="orders", lineitem="lineitem"),
     doc="correlated EXISTS (TPC-H Q4 shape) — Catalyst decorrelates to "
     "a left-semi join on l_orderkey with the date predicate",
 )
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_SUBQ_EXISTS_SQL)
+    return spark.sql(
+        _SUBQ_EXISTS_SQL,
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+    )
 
 
 _SUBQ_SCALAR_SQL = """
     SELECT CAST(COUNT(*) AS BIGINT)      AS n_small,
            ROUND(SUM(l_extendedprice), 2) AS small_revenue
-    FROM lineitem l1
+    FROM {lineitem} l1
     WHERE l_quantity < (
-      SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+      SELECT 0.5 * AVG(l_quantity) FROM {lineitem} l2
       WHERE l2.l_partkey = l1.l_partkey
     )
 """
@@ -750,13 +757,14 @@ _SUBQ_SCALAR_SQL = """
 
 @query(
     "subquery_scalar",
-    _SUBQ_SCALAR_SQL,
+    _SUBQ_SCALAR_SQL.format(lineitem="lineitem"),
     doc="correlated scalar subquery (TPC-H Q17 shape) — decorrelated "
     "into a per-part aggregate joined back to the fact",
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_SUBQ_SCALAR_SQL)
+    return spark.sql(
+        _SUBQ_SCALAR_SQL, lineitem=load_table(spark, sf_dir, "lineitem")
+    )
 
 
 # --------------------------------------------------------------------
@@ -1069,20 +1077,20 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "above-average balance but no recent orders",
 )
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT substring(c_name, 17, 2)  AS code,
                CAST(COUNT(*) AS BIGINT)  AS n_cust,
                ROUND(SUM(c_acctbal), 2)  AS total_bal
-        FROM customer c
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        FROM {customer} c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {customer} WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY 1
         ORDER BY code
-        """
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
     )
 
 
@@ -1391,16 +1399,16 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero-rows-on-empty-input Expand semantics — see agg_rollup.",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
         SELECT event_type,
                CAST(user_id % 3 AS BIGINT)  AS cohort,
                CAST(COUNT(*) AS BIGINT)     AS n,
                ROUND(SUM(value), 2)         AS total_value
-        FROM events
+        FROM {events}
         GROUP BY GROUPING SETS ((event_type, user_id % 3), (event_type), ())
-        """
+        """,
+        events=load_table(spark, sf_dir, "events"),
     )
 
 

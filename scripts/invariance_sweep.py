@@ -17,6 +17,13 @@ can't see arriving:
   returns different results at 3 shuffle partitions than at 32. The
   driver, the tests, and a production cluster all run different
   parallelism, so results must be a pure function of the data.
+- **execution-path dependence (r8)** — whole-stage codegen vs the
+  interpreted expression evaluator, and the vectorized vs row-based
+  parquet decoder. Spark falls back to BOTH alternates on its own
+  (codegen: method-size/field-count limits, codegen bugs; vectorized
+  reader: complex types, schema evolution corners), so a query whose
+  result depends on which path ran would flap at scale exactly where
+  plans get big. Config C disables both and must match config A.
 
 Approximate sketches (HLL, approx-percentile) are partition-invariant
 by construction (register-wise-max / mergeable-summary merges), so no
@@ -52,10 +59,23 @@ def main() -> None:
     base = {
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.codegen.wholeStage": spark.conf.get("spark.sql.codegen.wholeStage"),
+        "spark.sql.codegen.factoryMode": spark.conf.get("spark.sql.codegen.factoryMode"),
+        "spark.sql.parquet.enableVectorizedReader": spark.conf.get(
+            "spark.sql.parquet.enableVectorizedReader"),
     }
     skinny = {
         "spark.sql.shuffle.partitions": "3",
         "spark.sql.adaptive.enabled": "false",
+    }
+    interpreted = {
+        # NO_CODEGEN forces the interpreted evaluator even for single
+        # expressions (wholeStage=false alone still compiles leaf
+        # expressions); the row-based parquet reader decodes each value
+        # through a different code path than the vectorized batch one.
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+        "spark.sql.parquet.enableVectorizedReader": "false",
     }
 
     def run(name, confs):
@@ -72,6 +92,7 @@ def main() -> None:
         a1 = run(name, base)
         a2 = run(name, base)
         b = run(name, skinny)
+        c = run(name, interpreted)
         if not a1.equals(a2):
             failures.append((name, "plan-rebuild nondeterminism"))
             print(f"{name}: FAIL rebuild determinism", flush=True)
@@ -80,6 +101,11 @@ def main() -> None:
             failures.append((name, f"partition dependence ({len(a1)} vs {len(b)} rows, {diff} diff)"))
             print(f"{name}: FAIL partition invariance "
                   f"({len(a1)} vs {len(b)} rows)", flush=True)
+        elif not a1.equals(c):
+            diff = int((a1 != c).any(axis=1).sum()) if len(a1) == len(c) else -1
+            failures.append((name, f"execution-path dependence ({len(a1)} vs {len(c)} rows, {diff} diff)"))
+            print(f"{name}: FAIL codegen/reader invariance "
+                  f"({len(a1)} vs {len(c)} rows)", flush=True)
         else:
             print(f"{i + 1:3d} {name}: ok", flush=True)
     print(f"\n{len(registry) - len(failures)}/{len(registry)} invariant", flush=True)

@@ -57,12 +57,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
+# (seed, skew, wide_ts, null_heavy, tiny, astral)
 TRIALS = [
-    (60001, False, False, False),
-    (70002, True, False, False),
-    (70026, True, False, False),
-    (70104, True, True, False),
-    (80008, True, True, True),
+    (60001, False, False, False, False, False),
+    (70002, True, False, False, False, False),
+    (70026, True, False, False, False, False),
+    (70104, True, True, False, False, False),
+    (80008, True, True, True, False, False),
 ]
 
 
@@ -70,15 +71,17 @@ TRIALS = [
     scope="module",
     params=TRIALS,
     ids=[
-        f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}{'-null' if nh else ''}"
-        for s, k, w, nh in TRIALS
+        f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}"
+        f"{'-null' if nh else ''}{'-tiny' if t else ''}{'-astral' if a else ''}"
+        for s, k, w, nh, t, a in TRIALS
     ],
 )
 def fuzz_trial(request, spark, tmp_path_factory):
-    seed, skew, wide_ts, null_heavy = request.param
+    seed, skew, wide_ts, null_heavy, tiny, astral = request.param
     tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
     tables = gen_tables(
-        random.Random(seed), skew=skew, wide_ts=wide_ts, null_heavy=null_heavy
+        random.Random(seed), skew=skew, wide_ts=wide_ts,
+        null_heavy=null_heavy, tiny=tiny, astral=astral,
     )
     con = duckdb.connect()
     for name, (rows, schema) in tables.items():
