@@ -68,9 +68,15 @@ def main() -> None:
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         with open(local_path) as f:
-            prior = json.load(f).get("queries", {})
+            _rec = json.load(f)
+        # Only trust the record at the SAME scale factor: an sf0.001
+        # fast-variant timing within 10% of an sf0.1 record would be a
+        # coincidence, not a noise-band match.
+        if str(_rec.get("sf")) == sf_tag:
+            prior = _rec.get("queries", {})
     except (OSError, ValueError):
         prior = {}
 
@@ -142,15 +148,16 @@ def main() -> None:
     # the stdout line before (BENCH_r06 kept a 2,000-char tail, losing
     # half the per-query record), so the full JSON is also written
     # next to the script and committed per round — cross-round perf
-    # claims must never depend on the driver's buffer.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"), "w",
-        ) as f:
-            f.write(line + "\n")
-    except OSError as exc:  # read-only checkout must not fail the bench
-        print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
+    # claims must never depend on the driver's buffer. Only the
+    # canonical sf0.1 run persists: a fast-variant run (e.g. sf0.001
+    # smoke) must not clobber the committed cross-round record.
+    if sf_tag == "0.1":
+        try:
+            with open(local_path, "w") as f:
+                f.write(line + "\n")
+        except OSError as exc:  # read-only checkout must not fail the bench
+            print(f"bench: could not write BENCH_LOCAL.json: {exc}",
+                  file=sys.stderr)
     # Non-zero exit only when the run is substantially broken (<90%
     # timed); a stray failure still yields a usable bench record.
     attempted = set(timings) | set(errors)
