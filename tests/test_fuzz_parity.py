@@ -39,6 +39,20 @@ round-boundary threat model). Two trials are pinned here:
   COUNT-vs-COUNT(col) splits, null-key join drops, and mostly-NULL
   window order frames against the exact oracle; the 80001-80040
   sweep (20 null-heavy trials) ran clean.
+- Seed 80096 (skew + wide_ts + null_heavy + tiny, round 8): the
+  cardinality axis — every non-dim table independently truncated to
+  0/1/2 rows (see _truncate) on top of the three other modes. Pins
+  the empty-input behaviors the axis forced into the operators when
+  it was introduced (rollup/cube/grouping-sets zero-rows-on-empty
+  oracle pins, gapfill's NULL-bounds early return, profile_columns'
+  COALESCE(SUM, 0) contract).
+- Seed 80112 (all five modes composed, round 8): adds the astral
+  text axis — supplementary-plane splices (emoji, ZWJ sequences,
+  regional-indicator pairs, math alphanumerics) in documents.text,
+  events.event_type, customer.c_name (see _astralize). Pins
+  codepoint-vs-byte alignment past the BMP: tokenization, shingle
+  boundaries, UTF-8 hashing, regex over supplementary codepoints —
+  under every other pathology at once.
 
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
@@ -64,6 +78,8 @@ TRIALS = [
     (70026, True, False, False, False, False),
     (70104, True, True, False, False, False),
     (80008, True, True, True, False, False),
+    (80096, True, True, True, True, False),
+    (80112, True, True, True, True, True),
 ]
 
 
