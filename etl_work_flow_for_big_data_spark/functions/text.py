@@ -164,6 +164,48 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     return sign * q / F.lit(float(10**out_dec))
 
 
+def rounded_sum(x: Column, in_dec: int, out_dec: int = 2) -> Column:
+    """``ROUND(SUM(x), out_dec)`` (HALF away from zero) computed
+    integer-exactly for inputs on an ``in_dec``-decimal fixed-point
+    contract (``in_dec > out_dec``) — an AGGREGATE expression.
+
+    Why not ``F.round(F.sum(x), 2)``: the fixtures' numerics are 2-dec,
+    and a sum of 2-dec values never nears a 2-dec half boundary — but
+    the queries MANUFACTURE finer fixed-point through products
+    (``l_extendedprice * rate`` is 4-dec, ``· (1+l_tax)`` is 6-dec),
+    and a small group's product-sum can land exactly on ``.xx5``
+    (fuzz seed 80118: a null-heavy trial shrank a tier group to ONE
+    line, summing ``3017.1 * 0.05 = 150.855`` — Spark's BigDecimal
+    HALF_UP on the double's shortest decimal repr gave 150.86, duck's
+    rescaled-binary rounding 150.85). Same construction as
+    ``rounded_mean``: ``C = ROUND(SUM(x)·10^in_dec, 0)`` is
+    cross-engine-identical because the scaled sum sits within
+    accumulated-ulp of an integer (never near .5 under the magnitude
+    contract below); then half-away rounding to ``out_dec`` is exact
+    long arithmetic: ``sign · ((2|C| + P) div 2P) / 10^out_dec`` with
+    ``P = 10^(in_dec-out_dec)``. ``div`` is by a nonzero constant, so
+    no ANSI zero-divisor guard is needed.
+
+    MAGNITUDE CONTRACT: ``|SUM(x)|·10^in_dec`` must stay within long —
+    at in_dec=6 that is |SUM| < ~9.2e12, ample for the parity scale
+    factors this pins (the 6-dec charge column sums to ~2e8 at sf0.1);
+    a larger-scale use needs a try_multiply audit first, exactly as
+    ``rounded_mean`` documents for out_dec=4. NULL/empty groups
+    propagate NULL on both engines; a ±Inf/NaN sum lands NULL on both
+    via try_cast.
+
+    DuckDB mirror: ``_duck_round_sum`` in ``queries/relational.py``.
+    """
+    if in_dec <= out_dec:
+        raise ValueError("in_dec must exceed out_dec (plain ROUND is "
+                         "already exact for sums at the input scale)")
+    c = F.round(F.sum(x) * F.lit(10 ** in_dec), 0).try_cast("long")
+    p = 10 ** (in_dec - out_dec)
+    q = F.call_function("div", F.abs(c) * 2 + F.lit(p), F.lit(2 * p))
+    sign = F.when(c < 0, F.lit(-1.0)).when(c >= 0, F.lit(1.0))
+    return sign * q / F.lit(float(10 ** out_dec))
+
+
 def minhash_signature(shingle_arr: Column, n_hashes: int = 12) -> Column:
     """MinHash signature: hash function i is the lexicographic min over
     the shingle set of the i-th 4-hex-char WORD of

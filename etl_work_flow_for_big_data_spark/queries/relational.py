@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.catalog import load_table, maybe_broadcast
-from etl_work_flow_for_big_data_spark.functions.text import rounded_mean
+from etl_work_flow_for_big_data_spark.functions.text import rounded_mean, rounded_sum
 from etl_work_flow_for_big_data_spark.operators.joins import asof_join, range_join
 from etl_work_flow_for_big_data_spark.queries import query
 
@@ -33,6 +33,17 @@ def _duck_round_avg(expr: str, out_dec: int) -> str:
         f"THEN -1 ELSE 1 END) * "
         f"((2*abs(TRY_CAST(ROUND(SUM({expr})*100, 0) AS BIGINT))*{scale} "
         f"+ COUNT({expr})) // (2*COUNT({expr}))) / {10**out_dec}.0"
+    )
+
+
+def _duck_round_sum(expr: str, in_dec: int, out_dec: int = 2) -> str:
+    """DuckDB mirror of ``functions.text.rounded_sum`` (see its
+    docstring for the derivation and the fixed-point contract)."""
+    p = 10 ** (in_dec - out_dec)
+    c = f"TRY_CAST(ROUND(SUM({expr})*{10**in_dec}, 0) AS BIGINT)"
+    return (
+        f"(CASE WHEN {c} < 0 THEN -1 ELSE 1 END) * "
+        f"((2*abs({c}) + {p}) // {2 * p}) / {10**out_dec}.0"
     )
 
 # --------------------------------------------------------------------
@@ -53,8 +64,8 @@ def _duck_round_avg(expr: str, out_dec: int) -> str:
       l_linestatus,
       ROUND(SUM(l_quantity), 2)                                       AS sum_qty,
       ROUND(SUM(l_extendedprice), 2)                                  AS sum_base_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
-      ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      {_duck_round_sum("l_extendedprice * (1 - l_discount)", 4)}      AS sum_disc_price,
+      {_duck_round_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
       {_duck_round_avg("l_quantity", 2)}                              AS avg_qty,
       {_duck_round_avg("l_extendedprice", 2)}                         AS avg_price,
       {_duck_round_avg("l_discount", 4)}                              AS avg_disc,
@@ -68,8 +79,10 @@ def _duck_round_avg(expr: str, out_dec: int) -> str:
     "shape. The averages round via integer-exact fixed-point "
     "(rounded_mean) because an average of 2-dec values can land "
     "exactly on a rounding half boundary where the engines' rules "
-    "split; the SUM rounds stay plain — a 2-dec sum never nears a "
-    "2-dec half boundary.",
+    "split; the PRODUCT sums (disc_price 4-dec, charge 6-dec) round "
+    "via rounded_sum for the same reason (a small group's product-sum "
+    "can land on .xx5 — fuzz seed 80118); the plain-column sums stay "
+    "plain — a 2-dec sum never nears a 2-dec half boundary.",
 )
 def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -81,8 +94,8 @@ def rate_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            rounded_sum(disc_price, 4).alias("sum_disc_price"),
+            rounded_sum(charge, 6).alias("sum_charge"),
             rounded_mean(F.col("l_quantity"), 2).alias("avg_qty"),
             rounded_mean(F.col("l_extendedprice"), 2).alias("avg_price"),
             rounded_mean(F.col("l_discount"), 4).alias("avg_disc"),
@@ -208,9 +221,9 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_star",
-    """
+    f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_duck_round_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
            CAST(COUNT(*) AS BIGINT)                              AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -242,9 +255,9 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            rounded_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -252,10 +265,10 @@ def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range",
-    """
+    f"""
     SELECT t.tier,
            CAST(COUNT(*) AS BIGINT)                 AS n_lines,
-           ROUND(SUM(l.l_extendedprice * t.rate), 2) AS tier_charge
+           {_duck_round_sum("l.l_extendedprice * t.rate", 4)} AS tier_charge
     FROM lineitem l
     JOIN (VALUES (0.0, 10.0, 'T1', 0.05),
                  (10.0, 25.0, 'T2', 0.10),
@@ -279,9 +292,9 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * F.col("rate")), 2).alias(
-                "tier_charge"
-            ),
+            rounded_sum(
+                F.col("l_extendedprice") * F.col("rate"), 4
+            ).alias("tier_charge"),
         )
     )
 
@@ -777,9 +790,9 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q3_shipping_priority",
-    """
+    f"""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_duck_round_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -809,8 +822,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(maybe_broadcast(c, sf_dir, "customer"), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            rounded_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select(
@@ -825,10 +838,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q10_returned_items",
-    """
+    f"""
     SELECT c.c_custkey,
            c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_duck_round_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -853,8 +866,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            rounded_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
@@ -1096,9 +1109,9 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q5_local_supplier_volume",
-    """
+    f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {_duck_round_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1137,8 +1150,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            rounded_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
     )

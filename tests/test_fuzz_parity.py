@@ -46,6 +46,17 @@ round-boundary threat model). Two trials are pinned here:
   it was introduced (rollup/cube/grouping-sets zero-rows-on-empty
   oracle pins, gapfill's NULL-bounds early return, profile_columns'
   COALESCE(SUM, 0) contract).
+- Seed 80118 (skew + null_heavy, round-8 second matrix pass): the
+  null-heavy draw shrank a join_range tier group to ONE lineitem whose
+  l_extendedprice * rate product is exactly 150.855 — Spark's
+  round(double, 2) rounds the double's SHORTEST DECIMAL REPR
+  (BigDecimal.valueOf → HALF_UP: 150.86) while DuckDB rounds the
+  binary value (just under .855: 150.85). Products of 2-dec columns
+  are 4/6-dec fixed-point, so small-group product-sums can land on
+  .xx5 even though the fixtures' own numerics are 2-dec. Fixed by
+  routing every ROUND(SUM(product), 2) through integer-exact
+  `rounded_sum` on both engines (functions/text.py); this seed keeps
+  the 1-row-group boundary shape in the net.
 - Seed 80112 (all five modes composed, round 8): adds the astral
   text axis — supplementary-plane splices (emoji, ZWJ sequences,
   regional-indicator pairs, math alphanumerics) in documents.text,
@@ -80,6 +91,7 @@ TRIALS = [
     (80008, True, True, True, False, False),
     (80096, True, True, True, True, False),
     (80112, True, True, True, True, True),
+    (80118, True, False, True, False, False),
 ]
 
 
