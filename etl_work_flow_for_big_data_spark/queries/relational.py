@@ -26,21 +26,25 @@ from etl_work_flow_for_big_data_spark.queries import query
 
 def _duck_round_avg(expr: str, out_dec: int) -> str:
     """DuckDB mirror of ``functions.text.rounded_mean`` (see its
-    docstring for the derivation and the 2-dec input contract)."""
+    docstring for the derivation and the 2-dec input contract).
+    Per-term rounded BIGINTs as on the Spark side; duck's SUM(BIGINT)
+    widens to HUGEINT, so the ``//`` stays exact past long range."""
     scale = 10 ** (out_dec - 2)
+    t = f"TRY_CAST(ROUND(({expr})*100, 0) AS BIGINT)"
     return (
-        f"(CASE WHEN TRY_CAST(ROUND(SUM({expr})*100, 0) AS BIGINT) < 0 "
-        f"THEN -1 ELSE 1 END) * "
-        f"((2*abs(TRY_CAST(ROUND(SUM({expr})*100, 0) AS BIGINT))*{scale} "
-        f"+ COUNT({expr})) // (2*COUNT({expr}))) / {10**out_dec}.0"
+        f"(CASE WHEN SUM({t}) < 0 THEN -1 ELSE 1 END) * "
+        f"((2*abs(SUM({t}))*{scale} "
+        f"+ COUNT({t})) // (2*COUNT({t}))) / {10**out_dec}.0"
     )
 
 
 def _duck_round_sum(expr: str, in_dec: int, out_dec: int = 2) -> str:
     """DuckDB mirror of ``functions.text.rounded_sum`` (see its
-    docstring for the derivation and the fixed-point contract)."""
+    docstring for the derivation and the fixed-point contract).
+    Per-term rounded BIGINTs as on the Spark side; duck's SUM(BIGINT)
+    widens to HUGEINT, so the ``//`` stays exact past long range."""
     p = 10 ** (in_dec - out_dec)
-    c = f"TRY_CAST(ROUND(SUM({expr})*{10**in_dec}, 0) AS BIGINT)"
+    c = f"SUM(TRY_CAST(ROUND(({expr})*{10**in_dec}, 0) AS BIGINT))"
     return (
         f"(CASE WHEN {c} < 0 THEN -1 ELSE 1 END) * "
         f"((2*abs({c}) + {p}) // {2 * p}) / {10**out_dec}.0"

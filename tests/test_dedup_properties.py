@@ -356,3 +356,98 @@ def test_rounded_mean_property_matches_decimal(spark, out_dec):
             assert duck[gi] == want, (gi, grp, duck[gi], want)
 
     check()
+
+
+def test_rounded_sum_property_matches_decimal(spark):
+    """Hypothesis sweep: rounded_sum == Decimal HALF-away-from-zero of
+    the exact micros sum, for signed 6-dec inputs (the product scale
+    the rating queries manufacture: price × (1−disc) × (1+tax)), and
+    the DuckDB mirror (production ``_duck_round_sum``) agrees
+    cell-for-cell. Small groups land exactly on .xx5 boundaries (fuzz
+    seed 80118's class); micros drawn as integers so the Decimal
+    ground truth is exact."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_work_flow_for_big_data_spark.functions.text import rounded_sum
+    from etl_work_flow_for_big_data_spark.queries.relational import _duck_round_sum
+
+    groups = st.lists(
+        st.lists(
+            st.integers(min_value=-10**12, max_value=10**12),  # micros
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    con = duckdb.connect()
+    quantum = Decimal("0.01")
+
+    @settings(max_examples=15, deadline=None)
+    @given(groups)
+    def check(micros_groups):
+        rows = [
+            (gi, m / 1e6) for gi, grp in enumerate(micros_groups) for m in grp
+        ]
+        df = spark.createDataFrame(rows, "g int, x double")
+        got = {
+            r["g"]: r["s"]
+            for r in df.groupBy("g")
+            .agg(rounded_sum(F.col("x"), 6).alias("s"))
+            .collect()
+        }
+        vals = ", ".join(f"({g}, {x!r}::DOUBLE)" for g, x in rows)
+        duck = {
+            g: s
+            for g, s in con.sql(
+                f"SELECT g, {_duck_round_sum('x', 6)}"
+                f" FROM (VALUES {vals}) AS t(g, x) GROUP BY g"
+            ).fetchall()
+        }
+        for gi, grp in enumerate(micros_groups):
+            total = sum(grp)
+            exact = Decimal(total).scaleb(-6)
+            want = float(
+                abs(exact).quantize(quantum, rounding=ROUND_HALF_UP)
+            ) * (1 if total >= 0 else -1) + 0.0
+            assert got[gi] == want, (gi, grp, got[gi], want)
+            assert duck[gi] == want, (gi, grp, duck[gi], want)
+
+    check()
+
+
+def test_rounded_sum_large_group_no_drift(spark):
+    """The r8-judge drift finding: summing doubles BEFORE rounding
+    accumulates ~ulp·√n random-walk error (~10-100 scaled units on
+    150k-row groups at in_dec=6), so a large group whose true 6-dec
+    sum lands exactly on a .xx5 boundary could round either way
+    depending on drift direction. Per-term long summation (r9 fix)
+    is drift-free at any group size — pin a 150k-row group whose
+    tail term is chosen so the exact micros sum ≡ 5000 (mod 10000),
+    i.e. exactly on the half boundary at out_dec=2, and assert the
+    Decimal half-away-from-zero answer."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_work_flow_for_big_data_spark.functions.text import rounded_sum
+
+    # 149_999 copies of 123.456784 plus one tail term chosen so the
+    # exact sum's third decimal is 5 (a .xx5 boundary at out_dec=2).
+    n, t_micros = 149_999, 123_456_784
+    base = n * t_micros                       # exact micros so far
+    tail = (5000 - base % 10_000) % 10_000 + 123_450_000
+    total = base + tail
+    assert total % 10_000 == 5_000            # exactly on .xx5
+    exact = Decimal(total).scaleb(-6)
+    want = float(abs(exact).quantize(
+        Decimal("0.01"), rounding=ROUND_HALF_UP)) * (1 if total >= 0 else -1)
+
+    df = spark.range(n + 1).selectExpr(
+        f"CASE WHEN id < {n} THEN {t_micros}/1e6 ELSE {tail}/1e6 END AS x"
+    )
+    [row] = df.agg(rounded_sum(F.col("x"), 6).alias("s")).collect()
+    assert row["s"] == want, (row["s"], want, str(exact))
