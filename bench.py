@@ -48,6 +48,22 @@ def main() -> None:
     for t in TABLES:
         _ = load_table(spark, sf_dir, t).schema
 
+    # Warm the PYTHON worker pool too (r9): the first Arrow-kernel
+    # query in a session pays fork + pandas/pyarrow import + JIT for
+    # every worker slot — measured 7-15 s on sim_pairs cold vs
+    # 0.9-1.3 s warm, and under machine load the decay stretches
+    # across several shots, so even a med3 can read 2-6 s (the r8
+    # "sim-family regression", settled as exactly this). An untimed
+    # identity mapInPandas over one partition per core forks the pool
+    # and imports the stack before any timed query.
+    def _ident(it):
+        yield from it
+
+    n_slots = spark.sparkContext.defaultParallelism
+    spark.range(n_slots, numPartitions=n_slots).mapInPandas(
+        _ident, "id long"
+    ).write.mode("overwrite").format("noop").save()
+
     # Per-query isolation: one broken query must never zero out the
     # whole round's timings (round 3 lost its entire bench file to a
     # single AnalysisException). Failures are recorded under "errors"
@@ -137,6 +153,26 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Environment-drift model (r8-verdict stretch task): geomean of
+    # now/prior over queries present in both records. Code changes
+    # touch few queries per round, so this ratio over the (bulk,
+    # untouched) registry separates machine-day drift from real
+    # movement mechanically — the r6 technique, now a first-class
+    # field. SPARK_GRAFT_DRIFT_EXCLUDE=q1,q2 drops this round's
+    # touched queries from the basis.
+    excl = {q for q in os.environ.get(
+        "SPARK_GRAFT_DRIFT_EXCLUDE", "").split(",") if q}
+    shared = [(timings[q], prior[q]) for q in timings
+              if q not in excl and prior.get(q)]
+    if shared:
+        import math
+
+        log_sum = sum(math.log(now / ref) for now, ref in shared)
+        out["drift"] = {
+            "geomean_vs_prior": round(math.exp(log_sum / len(shared)), 4),
+            "n": len(shared),
+            "excluded": sorted(excl & set(timings)),
+        }
     if med3:
         out["med3"] = med3
     if noise_band:
