@@ -123,8 +123,16 @@ def _replica(spark, table, i):
 
 
 def build_fixture(spark, k, out_dir):
+    # SPARK_GRAFT_PROBE_TABLES=embeddings narrows the fact build for a
+    # single-family probe (the r9 sim-family x64 run needs 128k
+    # vectors, not 38M replicated lineitem rows it never reads); dims
+    # are cheap and always included.
+    facts = ["orders", "lineitem", "events", "documents", "embeddings"]
+    only = os.environ.get("SPARK_GRAFT_PROBE_TABLES")
+    if only:
+        facts = [t for t in facts if t in only.split(",")]
     os.makedirs(out_dir, exist_ok=True)
-    for table in DIMS + ["orders", "lineitem", "events", "documents", "embeddings"]:
+    for table in DIMS + facts:
         dst = os.path.join(out_dir, f"{table}.parquet")
         # atomic build: write to a temp dir, rename into place on
         # success — a partially-written dir left by a crashed previous
