@@ -76,6 +76,57 @@ def _as_matrix(col: pd.Series, dim: int | None = None) -> np.ndarray:
     return out
 
 
+_BLAS_PINNED = False
+
+
+def _pin_blas_single_thread() -> None:
+    """Best-effort: pin the worker's OpenBLAS pool to ONE thread.
+    The two-phase kernel issues gemm calls from up to 32 concurrent
+    Python workers on this box (one per core at 100-TB scale too —
+    Spark owns the parallelism); a default multi-threaded BLAS would
+    oversubscribe cores 32×32. numpy wheels bundle OpenBLAS under
+    numpy.libs with a ctypes-reachable setter; if the lookup fails
+    (different BLAS, renamed lib) we proceed unpinned — correctness
+    is unaffected, only scheduling."""
+    global _BLAS_PINNED
+    if _BLAS_PINNED:
+        return
+    _BLAS_PINNED = True
+    import ctypes
+    import glob
+    import os
+
+    roots = (
+        os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs"),
+        os.path.join(os.path.dirname(np.__file__), ".libs"),
+    )
+    for root in roots:
+        for path in glob.glob(os.path.join(root, "lib*openblas*.so*")):
+            try:
+                lib = ctypes.CDLL(path)
+                for sym in ("openblas_set_num_threads64_",
+                            "openblas_set_num_threads"):
+                    fn = getattr(lib, sym, None)
+                    if fn is not None:
+                        fn(1)
+                        return
+            except OSError:
+                continue
+
+
+#: BLAS-vs-fold-order cosine discrepancy bound used by the two-phase
+#: kernel's candidate margin. For d=64 unit-scale embeddings the true
+#: bound is ~d·2⁻⁵²·|cos| ≈ 1e-14; 1e-9 leaves five orders of safety
+#: while admitting no extra candidate a human could name. Values this
+#: close to the prefilter are rescored exactly anyway, so the margin
+#: affects WORK, never RESULTS.
+_BLAS_MARGIN = 1e-9
+
+#: rescore gather slice: bounds the (pairs × dim) gathered copies to
+#: ~270 MB even when a degenerate near-clique block passes everything
+_RESCORE_SLICE = 1 << 18
+
+
 def _score_block(
     ids_a: np.ndarray,
     A: np.ndarray,
@@ -90,24 +141,84 @@ def _score_block(
     optional raw prefilter. The ONE home of these rules — both the
     broadcast-corpus kernel and the executor-side pair grid call it,
     so the bit-exactness and zero-norm contracts cannot drift apart.
-    """
-    cos = _fold_dot(A, B) / np.sqrt(_fold_norm_sq(A)[:, None] * norms_b[None, :])
+
+    Two-phase when a prefilter exists (r9, the x64 probe finding):
+    the bit-exact ``_fold_dot`` is d full passes over the n×m score
+    matrix — ~16 TB of memory traffic for a 128k-vector block grid,
+    >10 min where BLAS gemm needs seconds. Phase 1 computes ``A@B.T``
+    (gemm, ~80× faster) and keeps candidates at ``prefilter −
+    _BLAS_MARGIN`` (NaN/±Inf rows are always candidates: transient
+    overflow can differ between summation orders, so nonfinite
+    phase-1 scores must reach the exact pass rather than be judged).
+    Phase 2 rescores ONLY survivors with the exact left-to-right
+    fold — the emitted ``cos_raw`` is bit-identical to the pure fold
+    path because every pair that could pass the exact prefilter is
+    within the margin bound (|gemm − fold| ≤ ~1e-14 ≪ margin for the
+    finite case; embeddings are unit-scale by contract, so no
+    transient-overflow asymmetry arises below ~1e150 components).
+    Without a prefilter every pair is emitted, so phase 1 could save
+    nothing — the pure fold path is kept (its small-B shapes, the
+    broadcast top-k path, are fast already)."""
     if mode == "pairs":
         keep = ids_a[:, None] < ids_b[None, :]
     elif mode == "all":
         keep = ids_a[:, None] != ids_b[None, :]
     else:  # full
         keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
-    # zero-norm vectors have undefined cosine (0/0 → NaN);
-    # they are EXCLUDED from pairing by contract, explicitly —
-    # Arrow would otherwise coerce the NaN to NULL on transfer
-    # (pandas NaN == missing), silently diverging from what the
-    # expression path produces. One rule, every path.
-    keep &= ~np.isnan(cos)
-    if prefilter is not None:
-        keep &= cos >= prefilter
+
+    if prefilter is None:
+        cos = _fold_dot(A, B) / np.sqrt(
+            _fold_norm_sq(A)[:, None] * norms_b[None, :]
+        )
+        # zero-norm vectors have undefined cosine (0/0 → NaN);
+        # they are EXCLUDED from pairing by contract, explicitly —
+        # Arrow would otherwise coerce the NaN to NULL on transfer
+        # (pandas NaN == missing), silently diverging from what the
+        # expression path produces. One rule, every path.
+        keep &= ~np.isnan(cos)
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]}
+        )
+
+    _pin_blas_single_thread()
+    norms_a = _fold_norm_sq(A)
+    denom = np.sqrt(norms_a[:, None] * norms_b[None, :])
+    with np.errstate(invalid="ignore", over="ignore", divide="ignore"):
+        cos1 = (A @ B.T) / denom
+        keep &= ~np.isfinite(cos1) | (cos1 >= prefilter - _BLAS_MARGIN)
     r, c = np.nonzero(keep)
-    return pd.DataFrame({"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]})
+
+    d1_parts, d2_parts, cos_parts = [], [], []
+    d = A.shape[1]
+    for lo in range(0, len(r), _RESCORE_SLICE):
+        rs, cs = r[lo: lo + _RESCORE_SLICE], c[lo: lo + _RESCORE_SLICE]
+        Ar, Bc = A[rs], B[cs]
+        acc = np.zeros(len(rs), dtype=np.float64)
+        for k in range(d):  # exact fold order, vectorized over pairs
+            acc += Ar[:, k] * Bc[:, k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = acc / np.sqrt(norms_a[rs] * norms_b[cs])
+        ok = ~np.isnan(cos)  # the zero-norm/NaN exclusion contract
+        ok &= cos >= prefilter
+        d1_parts.append(ids_a[rs][ok])
+        d2_parts.append(ids_b[cs][ok])
+        cos_parts.append(cos[ok])
+    if not d1_parts:
+        return pd.DataFrame(
+            {
+                "d1": pd.Series(dtype="int64"),
+                "d2": pd.Series(dtype="int64"),
+                "cos_raw": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "d1": np.concatenate(d1_parts),
+            "d2": np.concatenate(d2_parts),
+            "cos_raw": np.concatenate(cos_parts),
+        }
+    )
 
 
 def pairwise_cosine(

@@ -231,15 +231,21 @@ def rounded_sum(x: Column, in_dec: int, out_dec: int = 2) -> Column:
     ``P = 10^(in_dec-out_dec)``. ``div`` is by a nonzero constant, so
     no ANSI zero-divisor guard is needed.
 
-    MAGNITUDE CONTRACT: ``2·|SUM(x)·10^in_dec| + P`` must stay within
-    long — i.e. |SUM| < ~4.6e12 at in_dec=6 (the 6-dec charge column
-    sums to ~2e8 at sf0.1, ~2e11 at SF 100; ANSI makes a long-sum
-    overflow a loud task error, not a silent wrap — a larger-scale
-    use needs a decimal(38) audit first). Per-TERM bound:
-    ``|x|·10^in_dec < 2^52`` (~4.5e15) keeps each term's ulp below
-    0.5 so the per-term round is unambiguous on both engines; a
-    ±Inf/NaN/over-long term try_casts to NULL and is skipped by the
-    sum on BOTH engines (duck's TRY_CAST mirrors the NULL).
+    MAGNITUDE CONTRACT: the accumulator is ``decimal(38,0)`` — NOT
+    long — because the flagship in_dec=6 charge column overflows a
+    long sum at the very scale this engine targets (sf0.1 sums to
+    ~2e8 → ~2e14 at the 100-TB SF≈1e5, i.e. |SUM·10^6| ≈ 2e20 ≫
+    2^63; ANSI would kill the job loudly right where it matters).
+    decimal(38) gives 1e38 of headroom, mirroring duck's
+    SUM(BIGINT)→HUGEINT widening, and the final ``div`` collapses
+    back to long — which must fit, i.e. |SUM|·10^out_dec < 2^63, a
+    bound the OUTPUT (a rounded sum a human reads) satisfies by
+    construction. Per-TERM bound: ``|x|·10^in_dec < 2^52`` keeps each
+    term's ulp below 0.5 so the per-term round is unambiguous on both
+    engines (above 2^52 the term is integral and the round is the
+    identity on both — see ``_scaled_long_term``); a ±Inf/NaN/
+    over-long term try_casts to NULL and is skipped by the sum on
+    BOTH engines (duck's TRY_CAST mirrors the NULL).
     NULL/empty/all-invalid groups propagate NULL on both engines.
 
     DuckDB mirror: ``_duck_round_sum`` in ``queries/relational.py``.
@@ -248,7 +254,7 @@ def rounded_sum(x: Column, in_dec: int, out_dec: int = 2) -> Column:
         raise ValueError("in_dec must exceed out_dec (plain ROUND is "
                          "already exact for sums at the input scale)")
     term = _scaled_long_term(x, 10 ** in_dec)
-    c = F.sum(term)
+    c = F.sum(term.cast("decimal(38,0)"))
     p = 10 ** (in_dec - out_dec)
     q = F.call_function("div", F.abs(c) * 2 + F.lit(p), F.lit(2 * p))
     sign = F.when(c < 0, F.lit(-1.0)).when(c >= 0, F.lit(1.0))

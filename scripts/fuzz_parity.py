@@ -227,6 +227,46 @@ def _truncate(tables: dict, rng: random.Random) -> dict:
     return out
 
 
+def _magnify(tables: dict, rng: random.Random) -> dict:
+    """bignum mode (r9, the extreme-magnitude axis): multiply the two
+    price columns the fixed-point rounded aggregates consume —
+    lineitem.l_extendedprice, orders.o_totalprice — by one factor per
+    trial, log-sampled across the decades that straddle every
+    boundary in the rounded_sum/rounded_mean contract:
+
+    - 1e5-1e7: scaled terms cross 2^52, the ``_scaled_long_term``
+      half-add guard boundary (above it doubles are integers and the
+      +0.5 must NOT be added);
+    - 1e8-1e9: terms cross 2^63 — the try_cast-NULL band, and valid
+      terms large enough that a group SUM needs 128-bit headroom
+      (the decimal(38,0) accumulator; a long accumulator dies with an
+      ANSI overflow here while DuckDB's HUGEINT sails through);
+    - 1e12: every term over-long — the all-NULL-path totality check.
+
+    Deliberately a TARGETED axis: run it with the rounded-aggregate
+    query subset (see main's queries_csv arg), because magnified
+    values make plain double SUMs order-dependent in their final ulps
+    — an inherent-FP divergence both engines are entitled to, exactly
+    the class the base generator's ±1e5 2-dec contract exists to
+    exclude (see _rand_double). Post-pass; None/NaN/±Inf pass
+    through untouched so the totality draws keep their meaning."""
+    factor = rng.choice([1e5, 1e6, 1e7, 1e8, 1e9, 1e12])
+    out = dict(tables)
+    for name, idx in (("lineitem", 5), ("orders", 3)):
+        rows, schema = tables[name]
+        out[name] = (
+            [
+                tuple(
+                    v * factor if j == idx and isinstance(v, float) else v
+                    for j, v in enumerate(r)
+                )
+                for r in rows
+            ],
+            schema,
+        )
+    return out
+
+
 def _nullify(tables: dict, rng: random.Random) -> dict:
     """null_heavy mode: re-draw 30-50% of EVERY nullable column to
     NULL simultaneously (rate drawn once per table). The base
@@ -255,7 +295,8 @@ def _nullify(tables: dict, rng: random.Random) -> dict:
 
 def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
                null_heavy: bool = False, tiny: bool = False,
-               astral: bool = False) -> dict[str, tuple[list, str]]:
+               astral: bool = False,
+               bignum: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
@@ -284,10 +325,16 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
     columns in a post-pass (see ``_astralize``); the base pools top
     out at U+02FF.
 
+    ``bignum=True`` (r9, the extreme-magnitude axis) multiplies the
+    price columns by a per-trial factor spanning the 2^52 / 2^63
+    fixed-point boundaries in a post-pass (see ``_magnify``); run it
+    against the rounded-aggregate query subset only.
+
     All flags default False and keep rng consumption byte-identical
     to the pinned r6/r7 seeds. Post-pass order: nullify, astralize,
-    truncate (density before splicing before cardinality, so a tiny
-    table's surviving rows still carry the composed pathologies)."""
+    magnify, truncate (density before splicing before magnitude
+    before cardinality, so a tiny table's surviving rows still carry
+    the composed pathologies)."""
 
     def _key(hot, draw):
         # 50% hot key, else the table's normal draw; short-circuit
@@ -384,6 +431,8 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
         tables = _nullify(tables, rng)
     if astral:
         tables = _astralize(tables, rng)
+    if bignum:
+        tables = _magnify(tables, rng)
     if tiny:
         tables = _truncate(tables, rng)
     return tables
@@ -405,6 +454,13 @@ def main() -> None:
     # axis, r8). A 40-trial sweep is thus 5 of each 3-flag combo.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 80001
+    # argv[3]: comma-separated mode flags FORCED on for every trial
+    # (the index-derived flags still compose on top) — the r9 bignum
+    # axis is opt-in this way because it is only meaningful against
+    # the rounded-aggregate subset (see _magnify). argv[4]: that
+    # query subset (comma-separated names; default = whole registry).
+    forced = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else set()
+    only_queries = sys.argv[4].split(",") if len(sys.argv) > 4 else None
 
     from etl_work_flow_for_big_data_spark.queries import load_all
     from etl_work_flow_for_big_data_spark.session import get_spark
@@ -422,9 +478,11 @@ def main() -> None:
         null_heavy = trial % 8 >= 4
         tiny = trial % 16 >= 8
         astral = trial % 32 >= 16
+        bignum = "bignum" in forced
         rng = random.Random(seed)
         tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
-                            null_heavy=null_heavy, tiny=tiny, astral=astral)
+                            null_heavy=null_heavy, tiny=tiny, astral=astral,
+                            bignum=bignum)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -435,7 +493,9 @@ def main() -> None:
                 con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
                         f"read_parquet('{tmp}/{name}.parquet/*.parquet')")
             n_ok = 0
-            for qname, spec in registry.items():
+            swept = ({q: registry[q] for q in only_queries}
+                     if only_queries else registry)
+            for qname, spec in swept.items():
                 try:
                     compare(spec.fn(spark, tmp), con.sql(spec.oracle))
                     n_ok += 1
@@ -448,8 +508,8 @@ def main() -> None:
             con.close()
             mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "") \
                 + ("+null" if null_heavy else "") + ("+tiny" if tiny else "") \
-                + ("+astral" if astral else "")
-            print(f"trial seed={seed} [{mode}]: {n_ok}/{len(registry)} ok", flush=True)
+                + ("+astral" if astral else "") + ("+bignum" if bignum else "")
+            print(f"trial seed={seed} [{mode}]: {n_ok}/{len(swept)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 

@@ -451,3 +451,27 @@ def test_rounded_sum_large_group_no_drift(spark):
     )
     [row] = df.agg(rounded_sum(F.col("x"), 6).alias("s")).collect()
     assert row["s"] == want, (row["s"], want, str(exact))
+
+
+def test_rounded_sum_decimal_headroom_past_long(spark):
+    """The 100-TB contract: the flagship in_dec=6 charge column's
+    scaled sum passes 2^63 around SF 5000 — a long accumulator dies
+    with an ANSI overflow exactly where the engine is meant to run.
+    The decimal(38,0) accumulator (mirroring duck's SUM(BIGINT) →
+    HUGEINT widening) must return the exact rounded sum instead.
+    Three terms of 4e18 scaled units sum to 1.2e19 > 2^63."""
+    import duckdb
+
+    from etl_work_flow_for_big_data_spark.functions.text import rounded_sum
+    from etl_work_flow_for_big_data_spark.queries.relational import _duck_round_sum
+
+    x = 4.0e12  # x * 10^6 = 4e18 per term; 3 terms overflow a long sum
+    df = spark.createDataFrame([(x,), (x,), (x,)], "v double")
+    [row] = df.agg(rounded_sum(F.col("v"), 6).alias("s")).collect()
+    assert row["s"] == 1.2e13
+
+    [(duck,)] = duckdb.sql(
+        f"SELECT {_duck_round_sum('v', 6)} FROM "
+        f"(VALUES ({x!r}::DOUBLE), ({x!r}), ({x!r})) AS t(v)"
+    ).fetchall()
+    assert duck == row["s"]

@@ -342,3 +342,57 @@ def test_ann_recall_pinned_on_planted_neighbors(spark):
     assert single >= 0.6, f"single-probe recall@5 regressed: {single}"
     assert multi >= 0.8, f"multiprobe recall@5 regressed: {multi}"
     assert multi >= single
+
+
+def test_score_block_two_phase_bit_identical_to_pure_fold():
+    """The r9 two-phase kernel (BLAS candidate pass + exact fold
+    rescore of survivors) must emit EXACTLY the pure fold path's
+    pairs and bit-identical cos_raw values — across modes, prefilter
+    positions (below/inside/above the score mass), and degenerate
+    rows (zero vectors → NaN cosine, NaN rows). The margin admits
+    extra candidates but phase 2 re-judges every one with the exact
+    fold, so results cannot depend on which phase ran."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_work_flow_for_big_data_spark.functions import kernels as K
+
+    def pure_fold(ids_a, A, ids_b, B, norms_b, mode, prefilter):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = K._fold_dot(A, B) / np.sqrt(
+                K._fold_norm_sq(A)[:, None] * norms_b[None, :]
+            )
+        if mode == "pairs":
+            keep = ids_a[:, None] < ids_b[None, :]
+        elif mode == "all":
+            keep = ids_a[:, None] != ids_b[None, :]
+        else:
+            keep = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+        keep &= ~np.isnan(cos)
+        if prefilter is not None:
+            keep &= cos >= prefilter
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"d1": ids_a[r], "d2": ids_b[c], "cos_raw": cos[r, c]}
+        )
+
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        n, m = int(rng.integers(1, 200)), int(rng.integers(1, 300))
+        A = rng.normal(size=(n, 64))
+        B = rng.normal(size=(m, 64))
+        for M in (A, B):
+            for _ in range(3):
+                M[rng.integers(0, M.shape[0])] = 0.0
+                M[rng.integers(0, M.shape[0])] = np.nan
+        ids_a = rng.integers(0, 500, n)
+        ids_b = rng.integers(0, 500, m)
+        nb = K._fold_norm_sq(B)
+        for mode in ("pairs", "all", "full"):
+            for pf in (0.4 - 1e-6, -0.2, 0.9999):
+                want = pure_fold(ids_a, A, ids_b, B, nb, mode, pf)
+                got = K._score_block(ids_a, A, ids_b, B, nb, mode, pf)
+                key = ["d1", "d2", "cos_raw"]
+                assert want.sort_values(key).reset_index(drop=True).equals(
+                    got.sort_values(key).reset_index(drop=True)
+                ), (trial, mode, pf)
