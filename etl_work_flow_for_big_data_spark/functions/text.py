@@ -166,20 +166,20 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     term, not x, so the divisor always matches the summed population;
     duck's TRY_CAST mirrors the NULL).
 
-    MAGNITUDE CONTRACT per out_dec: the ``·10^(out_dec-2)`` rescale
-    spends headroom, so ``2·|SUM(x)·100| + n`` must stay within long
-    at the RESCALED width — exact/non-overflowing while
-    ``|SUM(x)·100| < ~4.6e18 / 10^(out_dec-2)``: ~4.6e18 at
-    out_dec=2 (far past SF 1000 for price columns) but ~4.6e16 at
-    out_dec=4 — ample for its current bounded-[0,1] discount-column
-    use (avg_disc: |SUM|·100 ≤ 100·rowcount), NOT for price-scale
-    columns, where ANSI turns the long overflow into a task-killing
-    error rather than a NULL (the duck mirror's HUGEINT sum never
-    overflows, so the failure is loud on the Spark side only). A new
-    out_dec≥4 use on an unbounded column needs a try_multiply audit
-    first. Per-TERM bound: |x|·100 < 2^52 (~4.5e13) keeps each term's
-    ulp below 0.5 so the per-term round is unambiguous on both
-    engines.
+    MAGNITUDE CONTRACT: the accumulator and the ``·10^(out_dec-2)``
+    rescale run in ``decimal(38,0)`` — a long would overflow in the
+    ``2·|SUM(x)·100|·10^(out_dec-2)`` intermediate while every INPUT
+    term is a legal long (r9 bignum fuzz seeds 90003/90008/90020:
+    ANSI kills the task where duck's HUGEINT widens; same class the
+    decimal accumulator fixed in ``rounded_sum``). The final
+    ``div`` collapses back to long, which fits whenever the OUTPUT
+    does: q = mean·10^out_dec ≤ max-term·10^(out_dec-2) < 2^63 by
+    the per-term bound. Per-TERM bound: |x|·100 < 2^52 (~4.5e13)
+    keeps each term's ulp below 0.5 so the per-term round is
+    unambiguous on both engines (above that the round is the
+    identity on both — see ``_scaled_long_term``); over-long terms
+    try_cast to NULL and are skipped by BOTH the sum and the
+    matching COUNT on both engines.
 
     DuckDB mirror (``_duck_round_avg`` in ``queries/relational.py``,
     same aliases; T = TRY_CAST(ROUND(x*100, 0) AS BIGINT))::
@@ -191,7 +191,7 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     if out_dec < 2:
         raise ValueError("out_dec must be >= the 2-dec input contract")
     term = _scaled_long_term(x, 100)
-    c = F.sum(term)
+    c = F.sum(term.cast("decimal(38,0)"))
     d = c * F.lit(10 ** (out_dec - 2))
     n = F.count(term)
     a = F.abs(d) * 2 + n

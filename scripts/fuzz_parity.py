@@ -12,13 +12,17 @@ deterministic from its seed — a failure report names the seed, so any
 divergence is replayable.
 
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
+[forced_modes_csv] [queries_csv]
 (base_seed convention: round N uses N*10000+1; odd trials run in
 zipf-skew key mode, trials with index % 4 >= 2 additionally draw
 wide_ts extreme timestamps, trials with index % 8 >= 4 run
 null_heavy — 30-50% NULLs in every nullable column simultaneously —
 trials with index % 16 >= 8 run tiny — non-dim tables truncated to
 0/1/2 rows — and trials with index % 32 >= 16 run astral —
-supplementary-plane text splices; see gen_tables and main.)
+supplementary-plane text splices; see gen_tables and main.
+forced_modes_csv turns a mode on for EVERY trial — used by the r9
+bignum axis, which is only meaningful against the rounded-aggregate
+queries_csv subset; see _magnify.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 

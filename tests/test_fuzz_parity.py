@@ -65,6 +65,16 @@ round-boundary threat model). Two trials are pinned here:
   boundaries, UTF-8 hashing, regex over supplementary codepoints —
   under every other pathology at once.
 
+- Seeds 90003/90008/90020 (round-9 bignum axis, see BIGNUM_TRIALS
+  below): price columns magnified across the 2^52/2^63 fixed-point
+  boundaries found the ANSI-long-overflow class — every TERM a legal
+  long, but the SUM (seed 90008/90020, try_add) or the ·2 rescale
+  (seed 90003, try_multiply) crossing 2^63, a loud task kill where
+  DuckDB's HUGEINT widens. Fixed by decimal(38,0) accumulators in
+  rounded_sum/rounded_mean; the pins sweep the rounded-aggregate
+  family only (magnified plain double sums are inherently
+  order-dependent — out of the parity contract by design).
+
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
 """
@@ -139,5 +149,66 @@ def test_fuzz_trial_parity(name, spark, fuzz_trial):
     from tests.parity import compare
 
     fuzz_dir, fuzz_duck = fuzz_trial
+    spec = load_all()[name]
+    compare(spec.fn(spark, fuzz_dir), fuzz_duck.sql(spec.oracle))
+
+
+# r9 bignum axis pins (seeds 90001+, _magnify): price columns scaled
+# by a per-trial factor spanning the 2^52 half-add-guard and 2^63
+# try_cast boundaries of the fixed-point rounded aggregates. The three
+# pinned seeds are the ANSI-long-overflow finds from the 24-trial
+# sweep — valid long TERMS whose decimal-width SUM/rescale killed the
+# task under ANSI while DuckDB's HUGEINT widened (fixed by the
+# decimal(38,0) accumulators in rounded_sum/rounded_mean). Only the
+# rounded-aggregate family is swept: magnified values make PLAIN
+# double sums order-dependent in their final ulps, an inherent-FP
+# class both engines are entitled to (see _magnify's docstring).
+BIGNUM_TRIALS = [
+    (90003, False, True, False, False, False),
+    (90008, True, True, True, False, False),
+    (90020, True, True, False, False, True),
+]
+
+BIGNUM_QUERIES = [
+    "rate_charge", "join_star", "join_range", "agg_groupby",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+]
+
+
+@pytest.fixture(
+    scope="module",
+    params=BIGNUM_TRIALS,
+    ids=[f"seed{s}-bignum" for s, *_ in BIGNUM_TRIALS],
+)
+def bignum_trial(request, spark, tmp_path_factory):
+    seed, skew, wide_ts, null_heavy, tiny, astral = request.param
+    tmp = str(tmp_path_factory.mktemp(f"bignum_{seed}"))
+    tables = gen_tables(
+        random.Random(seed), skew=skew, wide_ts=wide_ts,
+        null_heavy=null_heavy, tiny=tiny, astral=astral, bignum=True,
+    )
+    con = duckdb.connect()
+    for name, (rows, schema) in tables.items():
+        (
+            spark.createDataFrame(rows, schema)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"{name}.parquet"))
+        )
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{tmp}/{name}.parquet/*.parquet')"
+        )
+    yield tmp, con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BIGNUM_QUERIES)
+def test_bignum_trial_parity(name, spark, bignum_trial):
+    from etl_work_flow_for_big_data_spark.queries import load_all
+    from tests.parity import compare
+
+    fuzz_dir, fuzz_duck = bignum_trial
     spec = load_all()[name]
     compare(spec.fn(spark, fuzz_dir), fuzz_duck.sql(spec.oracle))
