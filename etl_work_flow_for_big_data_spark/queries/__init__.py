@@ -80,8 +80,8 @@ def _tuned(fn):
 # then agg_rollup/agg_cube, whose oracles took the r8 empty-input
 # HAVING pin after the r8 rotation froze (the r8 staleness defect);
 # then the 29 remaining queries whose last hard check was round 7.
-# That is 38 named slots; the remaining 12 back-fill from the
-# r8-checked set in registration order, leaving 38 r8-checked
+# That is 39 named slots; the remaining 11 back-fill from the
+# r8-checked set in registration order, leaving 39 r8-checked
 # queries as round 10's rotation debt (fits its 50 — steady-state).
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
@@ -89,8 +89,11 @@ def _tuned(fn):
 # receive a slot.
 _CHECK_PRIORITY = [
     # -- engine/oracle changed in round 9 (per-term-exact rounded_sum/
-    #    rounded_mean + mirrors); join_star/join_range additionally
-    #    carry the r8 rounded_sum change that missed the r8 check
+    #    rounded_mean with decimal(38,0) accumulators + mirrors);
+    #    join_star/join_range additionally carry the r8 rounded_sum
+    #    change that missed the r8 check. sim_pairs changed via the
+    #    two-phase _score_block kernel (bit-identity pinned, but the
+    #    rule is the rule: changed engine → front slot).
     "rate_charge",
     "join_star",
     "join_range",
@@ -98,6 +101,7 @@ _CHECK_PRIORITY = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
+    "sim_pairs",
     # -- oracle changed in round 8 after the r8 rotation froze
     #    (empty-input HAVING pin) — the r8 staleness debt
     "agg_rollup",
