@@ -157,11 +157,21 @@ def cosine_pairs(
     # n_blocks/n_splits elements would put O(grid-width) Literal nodes
     # into the plan (15k+ at the advertised scale — codegen fallback /
     # driver plan blowup); sequence keeps the plan O(1)
+    # y's pid/pv are REALIASED to distinct names: x and y share the
+    # `src` lineage, so passing "pid"/"pv" through both sides gives
+    # the cogroup children IDENTICAL attribute ids — and when a
+    # downstream plan consumes only part of the UDF output, Catalyst's
+    # column pruning treats the right side's copies as already
+    # provided by the left and drops them, handing the kernel a
+    # right-frame with no vector column (found by dedup_embedding,
+    # whose anti-join consumes only d2; sim_pairs never pruned, so
+    # the hazard sat latent). Fresh aliases mean fresh expression
+    # ids — nothing to collide.
     y = src.select(
         F.pmod(F.xxhash64("pid"), F.lit(n_blocks)).cast("int").alias("blk"),
         F.explode(F.sequence(F.lit(0), F.lit(n_splits - 1))).alias("sub"),
-        "pid",
-        "pv",
+        F.col("pid").alias("pid_y"),
+        F.col("pv").alias("pv_y"),
     )
     # a distinct second hash input decorrelates the x slice from the y
     # block so a hash-skewed id set cannot align both grid dimensions
@@ -186,8 +196,8 @@ def cosine_pairs(
             )
         # explicit contract dim when given; else the y block's modal
         # width (minority-corruption assumption, see docstring)
-        B = _as_matrix(right["pv"], dim)
-        ids_b = right["pid"].to_numpy(dtype=np.int64)
+        B = _as_matrix(right["pv_y"], dim)
+        ids_b = right["pid_y"].to_numpy(dtype=np.int64)
         norms_b = _fold_norm_sq(B)
         # chunk the x slice so the cos matrix stays ~32 MiB no matter
         # how the grid was sized (4M cells × 8 B); scoring rules

@@ -80,9 +80,10 @@ def _tuned(fn):
 # then agg_rollup/agg_cube, whose oracles took the r8 empty-input
 # HAVING pin after the r8 rotation froze (the r8 staleness defect);
 # then the 29 remaining queries whose last hard check was round 7.
-# That is 39 named slots; the remaining 11 back-fill from the
-# r8-checked set in registration order, leaving 39 r8-checked
-# queries as round 10's rotation debt (fits its 50 — steady-state).
+# That is 40 named slots (incl. the NEW dedup_embedding); the
+# remaining 10 back-fill from the r8-checked set in registration
+# order, leaving 39 r8-checked queries as round 10's rotation debt
+# (fits its 50 — steady-state).
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
@@ -102,6 +103,7 @@ _CHECK_PRIORITY = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "sim_pairs",
+    "dedup_embedding",  # NEW in round 9 (I2 embedding near-dup removal)
     # -- oracle changed in round 8 after the r8 rotation froze
     #    (empty-input HAVING pin) — the r8 staleness debt
     "agg_rollup",

@@ -110,6 +110,48 @@ def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(e, "vec_id", "embedding", threshold=0.4, n_hint=n, dim=64)
 
 
+@query(
+    "dedup_embedding",
+    f"""
+    WITH {_DUCK_VALID_EMB},
+    p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+    )
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM p)
+    ORDER BY doc_id
+    """,
+    doc="I2 embedding-cosine near-dup REMOVAL: the semantic-dedup "
+    "composition a training pipeline runs (cosine pairs over the "
+    "document embeddings → greedy keep-lowest-id anti-join on the "
+    "documents table; embeddings.vec_id IS documents.doc_id per the "
+    "fixture contract). Threshold 0.4 is the fixtures' similarity "
+    "tail — their embeddings plant no true near-dups (max pair cos "
+    "~0.51) and a production run sets ~0.9; the operator is "
+    "threshold-parametric. Same blocked pair grid as sim_pairs "
+    "(scale path: sim_ann_lsh candidates feed the same anti-join); "
+    "same one-anti-join application as dedup_apply.",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.catalog import table_row_count
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"))
+    )
+    n = table_row_count(sf_dir, "embeddings")
+    pairs = cosine_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_hint=n, dim=64
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return apply_near_dedup(d, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 _DUCK_SIG = """
 list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
   list_reduce(list_transform(range(1, 65),

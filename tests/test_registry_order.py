@@ -26,6 +26,7 @@ CHANGED_R9 = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "sim_pairs",
+    "dedup_embedding",  # NEW query this round
     "agg_rollup",
     "agg_cube",
 ]

@@ -396,3 +396,23 @@ def test_score_block_two_phase_bit_identical_to_pure_fold():
                 assert want.sort_values(key).reset_index(drop=True).equals(
                     got.sort_values(key).reset_index(drop=True)
                 ), (trial, mode, pf)
+
+
+def test_cosine_pairs_survives_downstream_column_pruning(spark):
+    """Regression (r9, found by dedup_embedding): x and y sides of the
+    pair grid derive from one `src` plan, so identically-named
+    pass-through columns carried IDENTICAL attribute ids into the
+    cogroup — and a consumer that reads only part of the UDF output
+    (here: just d2, the anti-join drop-set shape) let Catalyst prune
+    the right child's pid/pv as 'already provided by the left',
+    crashing the kernel with KeyError('pv'). The y side now realiases
+    to fresh attribute ids; consuming any single output column must
+    work."""
+    from etl_work_flow_for_big_data_spark.operators.similarity import cosine_pairs
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    rows += [(100, [1.0] + [0.0] * 7)]  # exact duplicate direction of vec 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_pairs(df, "vec_id", "embedding", threshold=0.9, dim=8)
+    drop = {r["d2"] for r in pairs.select("d2").distinct().collect()}
+    assert drop == {100}
