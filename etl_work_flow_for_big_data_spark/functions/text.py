@@ -152,14 +152,15 @@ def rounded_mean(x: Column, out_dec: int) -> Column:
     the SCALED SUM stayed within double's exact-integer range, 2^53,
     and accumulated ~ulp·√n random-walk drift on large groups — the
     r8-judge advice item this replaces.) Then half-away rounding to
-    ``d`` decimals is exact long arithmetic:
+    ``d`` decimals is exact integer arithmetic:
     ``round(C·10^(d-2)/(100·n·10^(d-2)), d) = sign · ((2|D| + n)
     intdiv 2n) / 10^d`` with ``D = C·10^(d-2)``. intdiv is Spark's
-    ``div`` (IntegralDivide on longs — exact through long range; the
-    earlier ``(a - try_mod(a,b))/b`` double-division form lost
-    exactness once ``2|D|+n`` crossed 2^53, where the DuckDB mirror's
-    BIGINT ``//`` stayed exact). Under ANSI, ``div`` by a zero divisor
-    ERRORS, so the zero-count case is when-guarded to NULL. An
+    ``div`` (IntegralDivide — exact over the decimal(38,0)
+    accumulator, result long; the earlier ``(a - try_mod(a,b))/b``
+    double-division form lost exactness once ``2|D|+n`` crossed
+    2^53, where the DuckDB mirror's HUGEINT ``//`` stayed exact).
+    Under ANSI, ``div`` by a zero divisor ERRORS, so the zero-count
+    case is when-guarded to NULL. An
     all-NULL group propagates NULL. A ±Inf/NaN/over-long TERM —
     outside the fixed-point contract — try_casts to NULL and is
     SKIPPED by both SUM and the matching COUNT (n counts the casted
