@@ -566,6 +566,11 @@ EXCHANGE_BUDGET = {
     "window_range_frame": 1,
     "sim_topk": 1,
     "sim_pairs": 2,
+    # pair grid (2) + the drop-set distinct (1) + the anti-join's
+    # exchange (1); the drop set is near-dup-count-sized, so at scale
+    # AQE demotes that join to broadcast and the plan loses, not
+    # gains, an Exchange
+    "dedup_embedding": 4,
     "sim_ivf_topk": 3,
     "text_quality": 0,
     "text_lang_id": 0,
