@@ -124,12 +124,20 @@ def _scaled_long_term(x: Column, scale: int) -> Column:
     the guard to ``v + 0.0`` and try_cast to NULL, duck's TRY_CAST
     mirroring; an over-long v is NULL on both for the same reason
     (Spark try_cast range check, duck TRY_CAST range check on the
-    SAME double)."""
+    SAME double) — EXCEPT the one double exactly at 2^63, where
+    Spark's range check compares against Long.MaxValue.toDouble
+    (which rounds UP to 2^63) and SATURATES to long max while duck
+    rejects to NULL; the explicit ``w < 2^63`` guard pins duck's
+    behavior (found by the r9 boundary-identity pin; -2^63 is a
+    legal long and needs no guard). The full cross-engine identity —
+    every regime, both engines, one formula — is pinned by
+    ``test_scaled_long_term_cross_engine_total_identity``."""
     v = x * F.lit(float(scale))
     half = F.when(
         F.abs(v) < F.lit(float(2**52)), F.signum(v) * F.lit(0.5)
     ).otherwise(F.lit(0.0))
-    return (v + half).try_cast("long")
+    w = v + half
+    return F.when(w < F.lit(float(2**63)), w.try_cast("long"))
 
 
 def rounded_mean(x: Column, out_dec: int) -> Column:

@@ -475,3 +475,59 @@ def test_rounded_sum_decimal_headroom_past_long(spark):
         f"(VALUES ({x!r}::DOUBLE), ({x!r}), ({x!r})) AS t(v)"
     ).fetchall()
     assert duck == row["s"]
+
+
+def test_scaled_long_term_cross_engine_total_identity(spark):
+    """_scaled_long_term(x, s) must equal DuckDB's
+    TRY_CAST(ROUND(x*s, 0) AS BIGINT) for EVERY double — the per-term
+    contract both rounded aggregates stand on. Targeted values walk
+    every regime boundary: exact integers and half-integers below
+    2^52 (the signed-half add), odd/even-mantissa integers just past
+    2^52 (where adding 0.5 would round-to-even UP and the guard must
+    suppress it), the 2^63 try_cast overflow edge, and the nonfinite/
+    signed-zero totality cases.
+
+    HARNESS TRAP (cost an hour in r9): DuckDB 1.0's UNQUOTED numeric
+    literal parse ('SELECT 4503599627370495.5::DOUBLE') goes through
+    the DECIMAL-literal path and lands ONE ULP LOW for >=16-sig-digit
+    values, which masquerades as broken ROUND/addition at the 2^52
+    boundary. The QUOTED string cast (''...''::DOUBLE) parses
+    bit-exactly, matching python/Spark — so this test (and any future
+    boundary harness) must feed duck doubles as quoted strings. The
+    production oracles are immune: their doubles arrive via parquet,
+    and embedded SQL literals are short/exact."""
+    import duckdb
+
+    from etl_work_flow_for_big_data_spark.functions.text import _scaled_long_term
+
+    two52, two63 = float(2**52), float(2**63)
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 2.5, -2.5,          # halves
+        150.855, -150.855, 3017.1 * 0.05,                     # seed-80118 shapes
+        two52 - 1.0, two52 - 0.5, two52, two52 + 1.0,         # guard edge
+        two52 + 3.0,                                          # odd mantissa past 2^52
+        two63 / 2, two63 - 1024.0, two63, two63 * 2,          # long range edge
+        -two63, -(two63 * 2), 1e300, -1e300,                  # far overflow
+        float("nan"), float("inf"), float("-inf"),            # nonfinite
+        None,                                                 # NULL
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, v double")
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", _scaled_long_term(F.col("v"), 1).alias("t")).collect()
+    }
+    def _lit(v):
+        # QUOTED string casts only — see the harness trap above
+        return "NULL" if v is None else f"'{v!r}'"
+
+    sql_vals = ", ".join(f"({i}, {_lit(v)}::DOUBLE)" for i, v in rows)
+    duck = {
+        i: t
+        for i, t in duckdb.sql(
+            f"SELECT i, TRY_CAST(ROUND(v * 1.0, 0) AS BIGINT) "
+            f"FROM (VALUES {sql_vals}) AS t(i, v)"
+        ).fetchall()
+    }
+    for i, v in rows:
+        assert got[i] == duck[i], (v, got[i], duck[i])
