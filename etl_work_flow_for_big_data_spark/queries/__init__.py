@@ -104,6 +104,7 @@ _CHECK_PRIORITY = [
     "tpch_q10_returned_items",
     "sim_pairs",
     "dedup_embedding",  # NEW in round 9 (I2 embedding near-dup removal)
+    "sample_quota",  # NEW in round 9 (I4 per-domain quota sampling)
     # -- oracle changed in round 8 after the r8 rotation froze
     #    (empty-input HAVING pin) — the r8 staleness debt
     "agg_rollup",

@@ -754,3 +754,42 @@ def mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < rate).select(
         "doc_id", "lang", bucket.cast("int").alias("bucket")
     )
+
+
+@query(
+    "sample_quota",
+    """
+    SELECT doc_id, source, quota_rank FROM (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INT) AS quota_rank
+      FROM documents
+    ) WHERE quota_rank <= 10
+    """,
+    doc="I4 per-domain quota sampling: keep at most N docs per source, "
+    "chosen by deterministic hash order (md5 of the id = a seeded "
+    "uniform draw with no sampling state; doc_id tie-break) — the "
+    "domain-balancing cap every crawl pipeline applies before "
+    "training. Spark executes the rank<=N filter with "
+    "WindowGroupLimit (plan-asserted): each map task keeps only its "
+    "local top-N per key BEFORE the shuffle, so a hot domain ships "
+    "N rows per input partition, not its whole row set — the reason "
+    "this form survives a skewed 100-TB crawl where a naive "
+    "sort-within-partition would funnel the hot domain through one "
+    "task's sort.",
+)
+def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("int").alias("quota_rank"),
+        )
+        .filter(F.col("quota_rank") <= 10)
+    )

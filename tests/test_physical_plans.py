@@ -54,6 +54,16 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_sample_quota_plans_window_group_limit(spark, sf_dir):
+    # the rank<=N filter must reach the map side: Partial
+    # WindowGroupLimit keeps each task's local top-N per key BEFORE
+    # the shuffle, so a hot domain ships N rows per input partition
+    # instead of its whole row set
+    plan = _plan(spark, sf_dir, "sample_quota")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
 def test_join_anti_semi_physical(spark, sf_dir):
     anti = _plan(spark, sf_dir, "join_anti")
     semi = _plan(spark, sf_dir, "join_semi")
@@ -586,6 +596,9 @@ EXCHANGE_BUDGET = {
     "window_tumbling": 1,
     "window_sliding": 1,
     "window_session": 1,
+    # one hashpartitioning(source) exchange; Partial WindowGroupLimit
+    # runs map-side before it (plan-asserted separately)
+    "sample_quota": 1,
 }
 
 

@@ -27,6 +27,7 @@ CHANGED_R9 = [
     "tpch_q10_returned_items",
     "sim_pairs",
     "dedup_embedding",  # NEW query this round
+    "sample_quota",  # NEW query this round
     "agg_rollup",
     "agg_cube",
 ]
