@@ -271,6 +271,145 @@ def _magnify(tables: dict, rng: random.Random) -> dict:
     return out
 
 
+def _long_run(rng: random.Random, cap: int = 32768) -> str:
+    """One pathological long string, 1k-32k chars (log-sampled).
+    Shapes chosen for what they break: single-char runs (regex
+    quantifier stress), alternating two-char patterns, a SINGLE
+    repeated token (one shingle owning the whole posting list —
+    the max_df hot-shingle path), multi-byte runs (UTF-8 length vs
+    codepoint length at volume), digit runs, and long realistic
+    word streams (shingle windows over genuinely long docs)."""
+    n = min(cap, int(2 ** rng.uniform(10, 15)))
+    kind = rng.random()
+    if kind < 0.18:
+        return "a" * n
+    if kind < 0.36:
+        return "ab" * (n // 2)
+    if kind < 0.52:
+        return ("tok%d " % rng.randrange(3)) * (n // 5)
+    if kind < 0.68:
+        return "東京χΨ" * (n // 4)
+    if kind < 0.82:
+        return "1234567890" * (n // 10)
+    return " ".join(rng.choice(_WORDS) or "w" for _ in range(n // 6))
+
+
+def _elongate(tables: dict, rng: random.Random) -> dict:
+    """longtext mode (r9 wave 11, the string-LENGTH axis): splice
+    1k-32k-char pathological strings into the text-bearing columns.
+    The base pools top out at ~12 short words, so every regex,
+    shingle window, tokenizer, JSON parser and substring in the
+    engine has only ever seen sub-100-char inputs from the fuzzer —
+    while a real corpus doc is kilobytes. Probes: Java-regex vs RE2
+    behavior on long subjects (backtracking vs linear scan must still
+    AGREE on matches), shingling/minhash over documents with 10k+
+    shingles, hot-shingle posting lists (a single repeated token),
+    fixed-point/tokenize kernels at length, get_json_object over a
+    long (valid) JSON string value, and parse failure agreement on
+    long INVALID payloads. Targets: documents.text (full length,
+    n_chars recomputed, forced doc-0/1 duplicate re-applied),
+    events.event_type (capped 4k — it is also a group/route key, so
+    runaway key width would just slow the sweep), events.props (half
+    long-valid-JSON, half long-invalid). Post-pass — rng consumption
+    with the mode off is untouched, so every pinned seed stands."""
+    out = dict(tables)
+    rows, schema = tables["documents"]
+    new_rows = []
+    for r in rows:
+        r = list(r)
+        if r[1] is not None and rng.random() < 0.5:
+            run = _long_run(rng)
+            roll = rng.random()
+            if roll < 0.4:
+                r[1] = run
+            elif roll < 0.7:
+                r[1] = run + r[1]
+            else:
+                r[1] = r[1] + run
+            r[4] = len(r[1])
+        new_rows.append(tuple(r))
+    if len(new_rows) >= 4 and new_rows[0][1] is not None:
+        # mirror gen_tables' forced exact duplicate
+        new_rows[1] = (new_rows[1][0],) + new_rows[0][1:]
+    out["documents"] = (new_rows, schema)
+
+    ev_rows, ev_schema = tables["events"]
+    new_ev = []
+    for r in ev_rows:
+        r = list(r)
+        if r[3] is not None and rng.random() < 0.3:
+            r[3] = _long_run(rng, cap=4096)
+        if r[5] is not None and rng.random() < 0.3:
+            if rng.random() < 0.5:
+                # long VALID JSON: quote-free run so no escaping needed
+                r[5] = '{"k":"' + "a" * int(2 ** rng.uniform(10, 14)) + '"}'
+            else:
+                r[5] = _long_run(rng)
+        new_ev.append(tuple(r))
+    out["events"] = (new_ev, ev_schema)
+    return out
+
+
+def _dupstorm(tables: dict, rng: random.Random) -> dict:
+    """dupstorm mode (r9 wave 11, the duplicate-DENSITY axis): the
+    base generator forces exactly ONE exact document duplicate, so
+    the dedup family has only ever been fuzzed at duplicate rate
+    ~2/n. A crawl corpus is the opposite — duplicate clusters
+    dominate. Replicates ~40% of documents 1-3× each (exact copy /
+    one-char edit / suffix noise → exact-dup, near-dup and
+    cluster-transitivity paths all hot at once), ~30% of embeddings
+    (exact or one-coordinate +1e-3 perturbation → cosine ≈ 1
+    candidate explosion in LSH buckets and IVF cells), and ~20% of
+    events as FULL-ROW duplicates (same event_id — distinct counts,
+    and window ranks over identical rows must stay multiset-
+    deterministic: identical input rows get distinct ranks in some
+    order, but the output row-multiset cannot depend on which).
+    Post-pass; new doc/vec ids continue past the max so id
+    uniqueness holds where the base generator provided it."""
+    out = dict(tables)
+    rows, schema = tables["documents"]
+    max_id = max((r[0] for r in rows), default=-1)
+    new_rows, ctr = list(rows), 0
+    for r in rows:
+        if r[1] is None or rng.random() > 0.4:
+            continue
+        for _ in range(rng.randrange(1, 4)):
+            ctr += 1
+            text, roll = r[1], rng.random()
+            if roll < 0.4:
+                pass  # exact copy
+            elif roll < 0.7 and text:
+                i = rng.randrange(len(text))
+                text = text[:i] + rng.choice("xyz") + text[i + 1:]
+            else:
+                text = text + " " + rng.choice(["alpha", "beta", "東京"])
+            new_rows.append((max_id + ctr, text, r[2], r[3], len(text)))
+    out["documents"] = (new_rows, schema)
+
+    erows, eschema = tables["embeddings"]
+    emax = max((r[0] for r in erows), default=-1)
+    new_e, ctr = list(erows), 0
+    for r in erows:
+        if rng.random() > 0.3:
+            continue
+        ctr += 1
+        v = r[1]
+        if v is not None and rng.random() < 0.5:
+            v = list(v)
+            j = rng.randrange(len(v))
+            v[j] = round(v[j] + 1e-3, 4)
+        new_e.append((emax + ctr, v, r[2]))
+    out["embeddings"] = (new_e, eschema)
+
+    evrows, evschema = tables["events"]
+    new_ev = list(evrows)
+    for r in evrows:
+        if rng.random() < 0.2:
+            new_ev.append(r)
+    out["events"] = (new_ev, evschema)
+    return out
+
+
 def _nullify(tables: dict, rng: random.Random) -> dict:
     """null_heavy mode: re-draw 30-50% of EVERY nullable column to
     NULL simultaneously (rate drawn once per table). The base
@@ -300,7 +439,9 @@ def _nullify(tables: dict, rng: random.Random) -> dict:
 def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
                null_heavy: bool = False, tiny: bool = False,
                astral: bool = False,
-               bignum: bool = False) -> dict[str, tuple[list, str]]:
+               bignum: bool = False,
+               longtext: bool = False,
+               dupstorm: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
@@ -334,11 +475,23 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
     fixed-point boundaries in a post-pass (see ``_magnify``); run it
     against the rounded-aggregate query subset only.
 
+    ``longtext=True`` (r9 wave 11, the string-length axis) splices
+    1k-32k-char pathological strings into documents.text /
+    events.event_type / events.props in a post-pass (see
+    ``_elongate``); the base pools top out at ~100 chars.
+
+    ``dupstorm=True`` (r9 wave 11, the duplicate-density axis)
+    replicates ~40% of documents, ~30% of embeddings and ~20% of
+    events as exact / near duplicates in a post-pass (see
+    ``_dupstorm``); the base generator forces only one duplicate.
+
     All flags default False and keep rng consumption byte-identical
     to the pinned r6/r7 seeds. Post-pass order: nullify, astralize,
-    magnify, truncate (density before splicing before magnitude
-    before cardinality, so a tiny table's surviving rows still carry
-    the composed pathologies)."""
+    magnify, elongate, dupstorm, truncate (density before splicing
+    before magnitude before length before duplication before
+    cardinality, so a tiny table's surviving rows still carry the
+    composed pathologies, and dupstorm replicates the ALREADY-long
+    texts)."""
 
     def _key(hot, draw):
         # 50% hot key, else the table's normal draw; short-circuit
@@ -437,6 +590,10 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
         tables = _astralize(tables, rng)
     if bignum:
         tables = _magnify(tables, rng)
+    if longtext:
+        tables = _elongate(tables, rng)
+    if dupstorm:
+        tables = _dupstorm(tables, rng)
     if tiny:
         tables = _truncate(tables, rng)
     return tables
@@ -483,10 +640,13 @@ def main() -> None:
         tiny = trial % 16 >= 8
         astral = trial % 32 >= 16
         bignum = "bignum" in forced
+        longtext = "longtext" in forced
+        dupstorm = "dupstorm" in forced
         rng = random.Random(seed)
         tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
                             null_heavy=null_heavy, tiny=tiny, astral=astral,
-                            bignum=bignum)
+                            bignum=bignum, longtext=longtext,
+                            dupstorm=dupstorm)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -512,7 +672,8 @@ def main() -> None:
             con.close()
             mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "") \
                 + ("+null" if null_heavy else "") + ("+tiny" if tiny else "") \
-                + ("+astral" if astral else "") + ("+bignum" if bignum else "")
+                + ("+astral" if astral else "") + ("+bignum" if bignum else "") \
+                + ("+longtext" if longtext else "") + ("+dupstorm" if dupstorm else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(swept)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -75,6 +75,18 @@ round-boundary threat model). Two trials are pinned here:
   family only (magnified plain double sums are inherently
   order-dependent — out of the parity contract by design).
 
+- Seeds 90208/90308 (round-9 wave 11): the string-LENGTH axis
+  (longtext — 1k-32k-char runs: single-char, alternating-pair,
+  one-hot-shingle, multi-byte, digit, long word streams in
+  documents.text / events.event_type / events.props) and the
+  duplicate-DENSITY axis (dupstorm — ~40% of documents and ~30% of
+  embeddings replicated as exact/near duplicates, ~20% of events as
+  full-row duplicates), each composed with skew+widets+null. Both
+  waves ran clean (8 trials × 85-86 oracles each); the pins hold the
+  sampled extremes — Java-regex-vs-RE2 agreement on long subjects,
+  shingle/minhash behavior at 10k+ shingles per doc, and dedup/rank
+  determinism when duplicate clusters dominate.
+
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
 """
@@ -92,16 +104,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
-# (seed, skew, wide_ts, null_heavy, tiny, astral)
+# (seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm)
 TRIALS = [
-    (60001, False, False, False, False, False),
-    (70002, True, False, False, False, False),
-    (70026, True, False, False, False, False),
-    (70104, True, True, False, False, False),
-    (80008, True, True, True, False, False),
-    (80096, True, True, True, True, False),
-    (80112, True, True, True, True, True),
-    (80118, True, False, True, False, False),
+    (60001, False, False, False, False, False, False, False),
+    (70002, True, False, False, False, False, False, False),
+    (70026, True, False, False, False, False, False, False),
+    (70104, True, True, False, False, False, False, False),
+    (80008, True, True, True, False, False, False, False),
+    (80096, True, True, True, True, False, False, False),
+    (80112, True, True, True, True, True, False, False),
+    (80118, True, False, True, False, False, False, False),
+    # r9 wave 11 pins: the most-composed passing trial of each new
+    # axis — longtext (1k-32k-char strings) and dupstorm (duplicate
+    # clusters dominating the corpus), each under skew+widets+null.
+    (90208, True, True, True, False, False, True, False),
+    (90308, True, True, True, False, False, False, True),
 ]
 
 
@@ -111,15 +128,17 @@ TRIALS = [
     ids=[
         f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}"
         f"{'-null' if nh else ''}{'-tiny' if t else ''}{'-astral' if a else ''}"
-        for s, k, w, nh, t, a in TRIALS
+        f"{'-longtext' if lt else ''}{'-dupstorm' if ds else ''}"
+        for s, k, w, nh, t, a, lt, ds in TRIALS
     ],
 )
 def fuzz_trial(request, spark, tmp_path_factory):
-    seed, skew, wide_ts, null_heavy, tiny, astral = request.param
+    seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm = request.param
     tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
     tables = gen_tables(
         random.Random(seed), skew=skew, wide_ts=wide_ts,
         null_heavy=null_heavy, tiny=tiny, astral=astral,
+        longtext=longtext, dupstorm=dupstorm,
     )
     con = duckdb.connect()
     for name, (rows, schema) in tables.items():
