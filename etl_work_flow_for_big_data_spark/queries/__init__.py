@@ -105,6 +105,7 @@ _CHECK_PRIORITY = [
     "sim_pairs",
     "dedup_embedding",  # NEW in round 9 (I2 embedding near-dup removal)
     "sample_quota",  # NEW in round 9 (I4 per-domain quota sampling)
+    "text_repetition",  # NEW in round 9 (I4 Gopher-style repetition filter)
     # -- oracle changed in round 8 after the r8 rotation froze
     #    (empty-input HAVING pin) — the r8 staleness debt
     "agg_rollup",

@@ -630,7 +630,12 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language — each doc lands in the sequence where its text starts. "
     "One window shuffle on the partition key; deterministic (integer "
     "sums, id-ordered frames). The packing every LLM data loader "
-    "needs before concat-and-chunk.",
+    "needs before concat-and-chunk. SCALE NOTE: the per-lang running "
+    "sum is a serial funnel by contract (a prefix sum cannot "
+    "parallelize within its key). At 100 TB, subdivide the key — "
+    "partition by (lang, split_assign-style hash bucket of doc_id) "
+    "so each bucket packs independently; sequences never spanned "
+    "buckets anyway once the loader shards by the same hash.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -792,4 +797,45 @@ def sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("quota_rank"),
         )
         .filter(F.col("quota_rank") <= 10)
+    )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), __t -> len(__t) > 0)) AS w
+      FROM documents
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS INT)   AS n_words,
+           CAST(COUNT(*) AS INT) AS n_distinct_words,
+           CAST(MAX(c) AS INT)   AS top_word_count
+    FROM wc GROUP BY 1
+    """,
+    doc="I4 repetition filter (the Gopher/RefinedWeb quality-rule "
+    "family): per-doc total / distinct / top-word counts, from which "
+    "the duplicate-word fraction (1 - distinct/total) and "
+    "top-word fraction (top/total) quality gates derive. Outputs are "
+    "EXACT integers — no floats, so the oracle contract holds at any "
+    "scale with no rounding discipline needed; consumers do the "
+    "division. Docs with no tokens produce no row (explode "
+    "semantics, both engines). Plan: explode -> partial-combined "
+    "groupBy (doc_id, word) -> groupBy doc_id; the map-side partial "
+    "agg means a spammy doc repeating one word ships one combined "
+    "row per map task, not its raw word stream — the repetition the "
+    "filter hunts is exactly what the shuffle combines away.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").cast("int").alias("n_words"),
+        F.count("*").cast("int").alias("n_distinct_words"),
+        F.max("c").cast("int").alias("top_word_count"),
     )

@@ -599,6 +599,9 @@ EXCHANGE_BUDGET = {
     # one hashpartitioning(source) exchange; Partial WindowGroupLimit
     # runs map-side before it (plan-asserted separately)
     "sample_quota": 1,
+    # (doc_id, word) combine exchange + the per-doc rollup exchange,
+    # which ships one row per document
+    "text_repetition": 2,
 }
 
 

@@ -28,6 +28,7 @@ CHANGED_R9 = [
     "sim_pairs",
     "dedup_embedding",  # NEW query this round
     "sample_quota",  # NEW query this round
+    "text_repetition",  # NEW query this round
     "agg_rollup",
     "agg_cube",
 ]
