@@ -13,16 +13,16 @@ divergence is replayable.
 
 Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 [forced_modes_csv] [queries_csv]
-(base_seed convention: round N uses N*10000+1; odd trials run in
-zipf-skew key mode, trials with index % 4 >= 2 additionally draw
-wide_ts extreme timestamps, trials with index % 8 >= 4 run
-null_heavy — 30-50% NULLs in every nullable column simultaneously —
-trials with index % 16 >= 8 run tiny — non-dim tables truncated to
-0/1/2 rows — and trials with index % 32 >= 16 run astral —
-supplementary-plane text splices; see gen_tables and main.
-forced_modes_csv turns a mode on for EVERY trial — used by the r9
-bignum axis, which is only meaningful against the rounded-aggregate
-queries_csv subset; see _magnify.)
+(base_seed convention: round N uses N*10000+1. Mode flags per trial
+are drawn from a seed-derived rng — skew/wide_ts/null_heavy at 50%,
+tiny/astral at 25%, longtext/dupstorm at 30% — so a wave of ANY size
+samples every axis and its compositions; the flags are a pure
+function of the seed, so a failure replays from the seed alone. The
+pre-r9 harness used index-bit rotation (%2 skew, %4 wide_ts, ...),
+which needed 2^k trials to reach axis k. forced_modes_csv turns a
+mode on for EVERY trial — used by the bignum axis, which is only
+meaningful against the rounded-aggregate queries_csv subset (see
+_magnify), and by single-axis burn-in waves for new modes.)
 Writes parquet under /tmp, never touches /root/testdata.
 """
 
@@ -606,17 +606,13 @@ def main() -> None:
     # 60001-60020; r7 70001+) so every round's trials are FRESH shapes
     # — the sweep's value is finding new divergence classes, and
     # re-running last round's seeds only re-proves the pinned fixes.
-    # The swept range is recorded in SCALE.md each round. Odd trials
-    # regenerate their tables in zipf-skew mode (hot join/group keys,
-    # see gen_tables); trials with index % 4 >= 2 additionally draw
-    # extreme timestamps (wide_ts: negative epoch, epoch zero, pandas
-    # ns-bound edges); trials with index % 8 >= 4 additionally run
-    # null_heavy (30-50% NULLs in every nullable column — the density
-    # axis, r8). A 40-trial sweep is thus 5 of each 3-flag combo.
+    # The swept range is recorded in SCALE.md each round. Mode flags
+    # are seed-derived per trial (see the loop below) so waves of any
+    # size sample every axis and its compositions.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 80001
     # argv[3]: comma-separated mode flags FORCED on for every trial
-    # (the index-derived flags still compose on top) — the r9 bignum
+    # (the seed-derived flags still compose on top) — the bignum
     # axis is opt-in this way because it is only meaningful against
     # the rounded-aggregate subset (see _magnify). argv[4]: that
     # query subset (comma-separated names; default = whole registry).
@@ -634,14 +630,25 @@ def main() -> None:
 
     for trial in range(n_trials):
         seed = base_seed + trial
-        skew = trial % 2 == 1
-        wide_ts = trial % 4 >= 2
-        null_heavy = trial % 8 >= 4
-        tiny = trial % 16 >= 8
-        astral = trial % 32 >= 16
+        # Mode flags are drawn from a SEPARATE seed-derived rng (NOT
+        # the table rng — its consumption must stay byte-identical to
+        # every pinned seed), so any wave size samples every axis:
+        # the old index-bit rotation needed 2^k trials to reach axis
+        # k, which left the r9 axes forced-only. A failed trial
+        # replays from its seed alone — the flags are a pure function
+        # of the seed (and the printed mode string names them).
+        mrng = random.Random((seed * 2654435761) % 2**32)
+        skew = mrng.random() < 0.5
+        wide_ts = mrng.random() < 0.5
+        null_heavy = mrng.random() < 0.5
+        tiny = mrng.random() < 0.25
+        astral = mrng.random() < 0.25
+        # draw BEFORE or-ing the forced flags: a skipped draw would
+        # shift the later ones, and the flags must stay a pure
+        # function of the seed whatever forced set a rerun passes
+        longtext = mrng.random() < 0.3 or "longtext" in forced
+        dupstorm = mrng.random() < 0.3 or "dupstorm" in forced
         bignum = "bignum" in forced
-        longtext = "longtext" in forced
-        dupstorm = "dupstorm" in forced
         rng = random.Random(seed)
         tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
                             null_heavy=null_heavy, tiny=tiny, astral=astral,
