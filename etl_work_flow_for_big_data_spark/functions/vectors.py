@@ -45,24 +45,32 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), F.sqrt(norm_sq(a) * norm_sq(b)))
 
 
-def is_valid_embedding(a: Column) -> Column:
+def is_valid_embedding(a: Column, dim: int | None = None) -> Column:
     """The domain where cosine is defined: a non-NULL vector with a
-    finite, strictly positive self-dot. Excludes NULL vectors, zero
-    vectors (0/0 cosine) and vectors with NaN/Inf components — all of
-    which diverge between engines (SQL engines order NaN above every
-    value; numpy comparisons reject it) and none of which is a
-    meaningful similarity candidate.
+    finite, strictly positive self-dot — and, when ``dim`` is given,
+    exactly that width. Excludes NULL vectors, zero vectors (0/0
+    cosine), vectors with NaN/Inf components, and (with ``dim``)
+    wrong-width vectors — all of which diverge between engines and
+    none of which is a meaningful similarity candidate. The width
+    check matters: a list-indexed SQL mirror silently computes a
+    PREFIX dot against a longer vector (found by the r9 ragged
+    probe — Spark's fixed-width kernel excluded a 32-dim row while
+    the oracle paired it), so width is part of the domain, not an
+    assumption.
 
-    DuckDB mirror: ``isfinite(<selfdot>) AND <selfdot> > 0`` (a NULL
-    self-dot fails both).
+    DuckDB mirror: ``isfinite(<selfdot>) AND <selfdot> > 0``
+    (a NULL self-dot fails both), plus ``len(v) = <dim>``.
     """
     sd = norm_sq(a)
-    return (
+    ok = (
         sd.isNotNull()
         & ~F.isnan(sd)
         & (sd != F.lit(float("inf")))
         & (sd > 0)
     )
+    if dim is not None:
+        ok = ok & (F.size(a) == dim)
+    return ok
 
 
 def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column:

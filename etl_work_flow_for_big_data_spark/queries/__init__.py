@@ -79,11 +79,14 @@ def _tuned(fn):
 # summation), which subsumes the two r8-changed-but-unchecked joins;
 # then agg_rollup/agg_cube, whose oracles took the r8 empty-input
 # HAVING pin after the r8 rotation froze (the r8 staleness defect);
-# then the 29 remaining queries whose last hard check was round 7.
-# That is 40 named slots (incl. the NEW dedup_embedding); the
-# remaining 10 back-fill from the r8-checked set in registration
-# order, leaving 39 r8-checked queries as round 10's rotation debt
-# (fits its 50 — steady-state).
+# then the 27 remaining queries whose last hard check was round 7.
+# That is 44 named slots (incl. the three NEW r9 queries —
+# dedup_embedding, sample_quota, text_repetition — and the four
+# sim-family queries whose engine+oracle domain gained the vector-
+# width clause after the ragged probe); the remaining 6 back-fill
+# from the r8-checked set in registration order, leaving 37
+# r8-checked queries as round 10's rotation debt (fits its 50 —
+# steady-state).
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
@@ -106,6 +109,14 @@ _CHECK_PRIORITY = [
     "dedup_embedding",  # NEW in round 9 (I2 embedding near-dup removal)
     "sample_quota",  # NEW in round 9 (I4 per-domain quota sampling)
     "text_repetition",  # NEW in round 9 (I4 Gopher-style repetition filter)
+    # -- r9 ragged-probe fix: vector WIDTH became part of the cosine
+    #    domain on both engine and oracle sides (the oracle's
+    #    list-indexed dot silently computed prefix cosines against
+    #    wrong-width vectors) — every sim-family query changed
+    "sim_topk",
+    "sim_ivf_topk",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
     # -- oracle changed in round 8 after the r8 rotation froze
     #    (empty-input HAVING pin) — the r8 staleness debt
     "agg_rollup",
@@ -128,8 +139,6 @@ _CHECK_PRIORITY = [
     "dq_validate",
     "join_salted",
     "agg_grouping_sets",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
     "text_tokens",
     "text_token_regex",
     "dedup_components",

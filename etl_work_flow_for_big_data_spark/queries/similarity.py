@@ -37,14 +37,20 @@ def _duck_cos(a: str, b: str) -> str:
 
 #: validity CTE: the kernel-backed queries (topk/pairs/ivf) consider
 #: only vectors where cosine is defined — mirror of
-#: functions.vectors.is_valid_embedding. The LSH queries deliberately
-#: skip this: their pure-Catalyst verify step already treats NaN/NULL
-#: identically on both engines, so adding a filter there would change
-#: behavior, not align it.
+#: functions.vectors.is_valid_embedding — AND of contract width
+#: (len = 64): the list-indexed _DOT silently computes a PREFIX dot
+#: against a longer vector, so without the width clause the oracle
+#: pairs rows the fixed-width kernel correctly excludes (r9 ragged
+#: probe). The LSH queries keep admitting zero/NaN vectors (their
+#: pure-Catalyst sign computation treats them identically on both
+#: engines — fuzz-proven) but share the width filter, since a short
+#: vector is an ANSI element_at error in Spark and a NULL-projection
+#: bucket in DuckDB.
 _DUCK_VALID_EMB = f"""
     v AS (SELECT vec_id, embedding FROM embeddings
           WHERE isfinite({_DOT.format(a='embedding', b='embedding')})
-            AND ({_DOT.format(a='embedding', b='embedding')}) > 0)
+            AND ({_DOT.format(a='embedding', b='embedding')}) > 0
+            AND len(embedding) = 64)
 """
 
 
@@ -66,14 +72,15 @@ _DUCK_VALID_EMB = f"""
     """,
     doc="I3 exact top-k cosine: broadcast query set × streamed "
     "candidates, no candidate shuffle; rank on rounded similarity. "
-    "Degenerate vectors (NULL/zero/NaN) are out of domain on both "
-    "sides (is_valid_embedding / the validity CTE).",
+    "Degenerate vectors (NULL/zero/NaN) and wrong-width vectors are "
+    "out of domain on both sides (is_valid_embedding dim=64 / the "
+    "validity CTE).",
 )
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        is_valid_embedding(F.col("embedding"))
+        is_valid_embedding(F.col("embedding"), dim=64)
     )
     return topk_cosine(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=10
@@ -91,15 +98,15 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d1, d2
     """,
     doc="I2/I3 embedding near-dup pairs (exact O(n²) baseline; the LSH "
-    "variant below is the scale path). Degenerate vectors are out of "
-    "domain on both sides.",
+    "variant below is the scale path). Degenerate and wrong-width "
+    "vectors are out of domain on both sides.",
 )
 def sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.catalog import table_row_count
     from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        is_valid_embedding(F.col("embedding"))
+        is_valid_embedding(F.col("embedding"), dim=64)
     )
     # parquet-footer count: sizes the hash blocks without a scan job
     # (upper bound — the validity filter only shrinks blocks)
@@ -140,7 +147,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        is_valid_embedding(F.col("embedding"))
+        is_valid_embedding(F.col("embedding"), dim=64)
     )
     n = table_row_count(sf_dir, "embeddings")
     pairs = cosine_pairs(
@@ -167,7 +174,7 @@ list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
     f"""
     WITH sig AS (
       SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = 64
     )
     SELECT q.vec_id AS q_vec_id,
            CAST(ROW_NUMBER() OVER (
@@ -186,7 +193,9 @@ list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
     "make buckets engine-independent (oracle mirrors exactly)",
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
     return ann_lsh_topk(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5
     )
@@ -233,7 +242,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings").filter(
-        is_valid_embedding(F.col("embedding"))
+        is_valid_embedding(F.col("embedding"), dim=64)
     )
     return ivf_topk(
         e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16, k=5
@@ -245,7 +254,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS (
       SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS sig
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = 64
     ),
     q AS (
       SELECT vec_id, embedding,
@@ -276,7 +285,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "it fully oracle-checkable.",
 )
 def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.size("embedding") == 64
+    )
     return ann_lsh_topk(
         e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=5,
         multi_probe=True,

@@ -15,7 +15,8 @@ Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 [forced_modes_csv] [queries_csv]
 (base_seed convention: round N uses N*10000+1. Mode flags per trial
 are drawn from a seed-derived rng — skew/wide_ts/null_heavy at 50%,
-tiny/astral at 25%, longtext/dupstorm at 30% — so a wave of ANY size
+tiny/astral/ragged at 25%, longtext/dupstorm at 30% — so a wave of ANY
+size
 samples every axis and its compositions; the flags are a pure
 function of the seed, so a failure replays from the seed alone. The
 pre-r9 harness used index-bit rotation (%2 skew, %4 wide_ts, ...),
@@ -410,6 +411,31 @@ def _dupstorm(tables: dict, rng: random.Random) -> dict:
     return out
 
 
+def _raggedize(tables: dict, rng: random.Random) -> dict:
+    """ragged mode (r9, the vector-WIDTH axis): re-draw ~25% of
+    non-NULL embeddings at a wrong width (0/1/32/63/65/128 instead of
+    the contract's 64). Found a real divergence class on its manual
+    debut: the oracle's list-indexed dot computes a PREFIX cosine
+    against a longer vector (and a NULL-element sum against a shorter
+    one) where the fixed-width kernel excludes the row — sim_pairs
+    silently returned fewer rows than the oracle until width became
+    part of the domain filter on BOTH sides (is_valid_embedding
+    dim=64 / ``len(embedding) = 64``). At 100 TB a corrupt upstream
+    batch WILL ship wrong-width vectors; the domain filter is what
+    keeps that a non-event. Post-pass; rng consumption with the mode
+    off is untouched."""
+    out = dict(tables)
+    rows, schema = tables["embeddings"]
+    new_rows = []
+    for r in rows:
+        if r[1] is not None and rng.random() < 0.25:
+            d = rng.choice([0, 1, 32, 63, 65, 128])
+            r = (r[0], [round(rng.uniform(-1, 1), 4) for _ in range(d)], r[2])
+        new_rows.append(r)
+    out["embeddings"] = (new_rows, schema)
+    return out
+
+
 def _nullify(tables: dict, rng: random.Random) -> dict:
     """null_heavy mode: re-draw 30-50% of EVERY nullable column to
     NULL simultaneously (rate drawn once per table). The base
@@ -441,7 +467,8 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
                astral: bool = False,
                bignum: bool = False,
                longtext: bool = False,
-               dupstorm: bool = False) -> dict[str, tuple[list, str]]:
+               dupstorm: bool = False,
+               ragged: bool = False) -> dict[str, tuple[list, str]]:
     """``skew=True`` switches every join/group key column to a
     zipf-shaped draw where ONE hot key owns ~50% of rows (events.
     user_id, orders.o_custkey, lineitem.l_orderkey) — the
@@ -484,6 +511,10 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
     replicates ~40% of documents, ~30% of embeddings and ~20% of
     events as exact / near duplicates in a post-pass (see
     ``_dupstorm``); the base generator forces only one duplicate.
+
+    ``ragged=True`` (r9, the vector-width axis) re-draws ~25% of
+    embeddings at a wrong width in a post-pass (see ``_raggedize``);
+    the base generator always draws the contract's 64.
 
     All flags default False and keep rng consumption byte-identical
     to the pinned r6/r7 seeds. Post-pass order: nullify, astralize,
@@ -594,6 +625,8 @@ def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
         tables = _elongate(tables, rng)
     if dupstorm:
         tables = _dupstorm(tables, rng)
+    if ragged:
+        tables = _raggedize(tables, rng)
     if tiny:
         tables = _truncate(tables, rng)
     return tables
@@ -648,12 +681,13 @@ def main() -> None:
         # function of the seed whatever forced set a rerun passes
         longtext = mrng.random() < 0.3 or "longtext" in forced
         dupstorm = mrng.random() < 0.3 or "dupstorm" in forced
+        ragged = mrng.random() < 0.25 or "ragged" in forced
         bignum = "bignum" in forced
         rng = random.Random(seed)
         tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
                             null_heavy=null_heavy, tiny=tiny, astral=astral,
                             bignum=bignum, longtext=longtext,
-                            dupstorm=dupstorm)
+                            dupstorm=dupstorm, ragged=ragged)
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
@@ -680,7 +714,8 @@ def main() -> None:
             mode = ("skew" if skew else "flat") + ("+widets" if wide_ts else "") \
                 + ("+null" if null_heavy else "") + ("+tiny" if tiny else "") \
                 + ("+astral" if astral else "") + ("+bignum" if bignum else "") \
-                + ("+longtext" if longtext else "") + ("+dupstorm" if dupstorm else "")
+                + ("+longtext" if longtext else "") + ("+dupstorm" if dupstorm else "") \
+                + ("+ragged" if ragged else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(swept)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

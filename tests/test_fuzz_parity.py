@@ -87,6 +87,18 @@ round-boundary threat model). Two trials are pinned here:
   shingle/minhash behavior at 10k+ shingles per doc, and dedup/rank
   determinism when duplicate clusters dominate.
 
+- Seed 90604 (round-9 ragged axis, six modes composed): wrong-width
+  embeddings (0/1/32/63/65/128-dim rows among the contract's 64, see
+  _raggedize). The axis's manual debut found a SILENT divergence:
+  the oracle's list-indexed dot computes a prefix cosine against a
+  longer vector where the fixed-width kernel excludes the row
+  (sim_pairs under-returned), and Spark's ANSI element_at dies on a
+  short vector where DuckDB's NULL projection buckets it. Fixed by
+  making width part of the cosine domain on BOTH sides
+  (is_valid_embedding dim=64 / len(embedding) = 64, incl. the LSH
+  signature CTEs); the 90601-90608 burn-in wave ran clean and this
+  pin keeps the class composed with widets+null+astral+longtext.
+
 Re-running the seeds keeps the fixed classes fixed; deeper
 exploration stays in the script (more trials, any seed).
 """
@@ -104,21 +116,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 from fuzz_parity import gen_tables  # noqa: E402
 
-# (seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm)
+# (seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm,
+#  ragged)
 TRIALS = [
-    (60001, False, False, False, False, False, False, False),
-    (70002, True, False, False, False, False, False, False),
-    (70026, True, False, False, False, False, False, False),
-    (70104, True, True, False, False, False, False, False),
-    (80008, True, True, True, False, False, False, False),
-    (80096, True, True, True, True, False, False, False),
-    (80112, True, True, True, True, True, False, False),
-    (80118, True, False, True, False, False, False, False),
+    (60001, False, False, False, False, False, False, False, False),
+    (70002, True, False, False, False, False, False, False, False),
+    (70026, True, False, False, False, False, False, False, False),
+    (70104, True, True, False, False, False, False, False, False),
+    (80008, True, True, True, False, False, False, False, False),
+    (80096, True, True, True, True, False, False, False, False),
+    (80112, True, True, True, True, True, False, False, False),
+    (80118, True, False, True, False, False, False, False, False),
     # r9 wave 11 pins: the most-composed passing trial of each new
     # axis — longtext (1k-32k-char strings) and dupstorm (duplicate
     # clusters dominating the corpus), each under skew+widets+null.
-    (90208, True, True, True, False, False, True, False),
-    (90308, True, True, True, False, False, False, True),
+    (90208, True, True, True, False, False, True, False, False),
+    (90308, True, True, True, False, False, False, True, False),
+    # r9 ragged pin: the six-axis composition from the burn-in wave —
+    # wrong-width vectors (the axis that found the silent prefix-
+    # cosine oracle divergence) under widets+null+astral+longtext.
+    (90604, False, True, True, False, True, True, False, True),
 ]
 
 
@@ -129,16 +146,18 @@ TRIALS = [
         f"seed{s}-{'skew' if k else 'flat'}{'-widets' if w else ''}"
         f"{'-null' if nh else ''}{'-tiny' if t else ''}{'-astral' if a else ''}"
         f"{'-longtext' if lt else ''}{'-dupstorm' if ds else ''}"
-        for s, k, w, nh, t, a, lt, ds in TRIALS
+        f"{'-ragged' if rg else ''}"
+        for s, k, w, nh, t, a, lt, ds, rg in TRIALS
     ],
 )
 def fuzz_trial(request, spark, tmp_path_factory):
-    seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm = request.param
+    (seed, skew, wide_ts, null_heavy, tiny, astral, longtext, dupstorm,
+     ragged) = request.param
     tmp = str(tmp_path_factory.mktemp(f"fuzz_{seed}"))
     tables = gen_tables(
         random.Random(seed), skew=skew, wide_ts=wide_ts,
         null_heavy=null_heavy, tiny=tiny, astral=astral,
-        longtext=longtext, dupstorm=dupstorm,
+        longtext=longtext, dupstorm=dupstorm, ragged=ragged,
     )
     con = duckdb.connect()
     for name, (rows, schema) in tables.items():

@@ -29,6 +29,12 @@ CHANGED_R9 = [
     "dedup_embedding",  # NEW query this round
     "sample_quota",  # NEW query this round
     "text_repetition",  # NEW query this round
+    # r9 ragged-probe fix: vector width joined the cosine domain on
+    # both sides — the whole sim family changed engine AND oracle
+    "sim_topk",
+    "sim_ivf_topk",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
     "agg_rollup",
     "agg_cube",
 ]
@@ -56,8 +62,6 @@ STALE_R7 = [
     "dq_validate",
     "join_salted",
     "agg_grouping_sets",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
     "text_tokens",
     "text_token_regex",
     "dedup_components",
