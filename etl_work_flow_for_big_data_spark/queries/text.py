@@ -629,7 +629,10 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training sequences (512 tokens) by running-sum window within "
     "language — each doc lands in the sequence where its text starts. "
     "One window shuffle on the partition key; deterministic (integer "
-    "sums, id-ordered frames). The packing every LLM data loader "
+    "sums, id-ordered frames — doc_id is unique by fixture contract; "
+    "duplicate ids would make tied rows' running sums order-dependent "
+    "in principle, probed invariant across partition counts in r9). "
+    "The packing every LLM data loader "
     "needs before concat-and-chunk. SCALE NOTE: the per-lang running "
     "sum is a serial funnel by contract (a prefix sum cannot "
     "parallelize within its key). At 100 TB, subdivide the key — "
