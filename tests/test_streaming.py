@@ -416,3 +416,74 @@ def test_control_packet_dispatch_reference_semantics(spark, tmp_path):
     assert mgr.dispatch_control_packet("s=1\na=startsession", ids) == "invalid-packet"
     assert mgr.dispatch_control_packet("garbage\n", ids) == "invalid-packet"
     mgr.stop()
+
+
+def test_watermark_drops_too_late_events_in_append_mode(spark, tmp_path):
+    """The watermark DISCIPLINE itself (G7): an event older than the
+    watermark is dropped from its (already-candidate) window; a late
+    but within-watermark event still lands. The other window tests run
+    complete mode, where Spark keeps all state and never drops — only
+    append mode exercises the state-eviction path that bounds memory
+    at 100 TB, so this is the test that proves late data is handled by
+    CONTRACT, not by unbounded state.
+
+    Batch mechanics pinned here (they are the semantics): the
+    watermark is max(event time seen) - delay, updated at batch END —
+    so batch 2's cutoff comes from batch 1's data, and a window is
+    emitted (then its state dropped) only once the watermark passes
+    its end."""
+    indir = tmp_path / "in"
+    indir.mkdir(parents=True)
+    stream = SOURCES.read_stream(
+        spark, "json", str(indir.as_posix()), EVENTS_SCHEMA,
+        maxFilesPerTrigger=1,
+    )
+    agg = tumbling_agg(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: two on-time events; the 11:00 one advances the
+        # watermark (for batch 2) to 10:50
+        _write_events_json(indir, [
+            {"event_id": 1, "ts": "2024-01-01 10:02:00", "user_id": 1,
+             "event_type": "view", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 11:00:00", "user_id": 1,
+             "event_type": "view", "value": 2.0},
+        ])
+        q.processAllAvailable()
+        # batch 2: one event too late (10:03 < wm 10:50 -> DROPPED),
+        # one late-but-inside (10:58 >= 10:50 -> counted)
+        _write_events_json(indir, [
+            {"event_id": 3, "ts": "2024-01-01 10:03:00", "user_id": 1,
+             "event_type": "view", "value": 100.0},
+            {"event_id": 4, "ts": "2024-01-01 10:58:00", "user_id": 1,
+             "event_type": "view", "value": 4.0},
+        ])
+        q.processAllAvailable()
+        # batch 3: advance event time far enough (wm -> 11:50) that
+        # every earlier window finalizes and appends
+        _write_events_json(indir, [
+            {"event_id": 5, "ts": "2024-01-01 12:00:00", "user_id": 1,
+             "event_type": "view", "value": 8.0},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        str(r["window_start"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    assert got == {
+        # the too-late 100.0 event is NOT here — watermark dropped it
+        "2024-01-01 10:00:00": (1, 1.0),
+        # the within-watermark late event IS
+        "2024-01-01 10:55:00": (1, 4.0),
+        "2024-01-01 11:00:00": (1, 2.0),
+        # the 12:00 window is still open (wm 11:50) -> not appended
+    }
