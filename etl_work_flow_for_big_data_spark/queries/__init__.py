@@ -91,6 +91,16 @@ def _tuned(fn):
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
 # receive a slot.
+#
+# CLOSING AUDIT (r9, per the process rule): the full round diff
+# (902bbf6..HEAD) touches query semantics only via (a) the rounded
+# fixed-point accumulators + duck mirrors — exactly the seven
+# rounded-agg consumers named below (mechanically re-derived from
+# helper call sites); (b) the two-phase pair kernel + the vector-
+# width domain clause — all six sim-family queries, named below;
+# (c) the three NEW queries. pack_sequences changed doc metadata
+# only (no engine/oracle effect — no slot). All 19 changed/new names
+# sit inside the first 50 (test_registry_order enforces this).
 _CHECK_PRIORITY = [
     # -- engine/oracle changed in round 9 (per-term-exact rounded_sum/
     #    rounded_mean with decimal(38,0) accumulators + mirrors);
