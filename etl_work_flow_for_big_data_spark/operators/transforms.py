@@ -9,7 +9,7 @@ plans/spec.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.functions.packets import (
@@ -164,6 +164,68 @@ def merge_upsert(
     )
     return survivors.unionByName(live)
 
+
+
+def hash_bucket(col: Column, n: int) -> Column:
+    """Deterministic hash bucket of a key column: first 16 bits of
+    md5, mod ``n``. Reproducible across engines, runs, and cluster
+    sizes (same family split_assign/mix_weighted use); DuckDB mirror:
+    ``CAST('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 4) AS INT) % n``.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+        % n
+    ).cast("int")
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    part_cols: list[str] | None = None,
+    budget: int = 512,
+    n_buckets: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """I4 sequence packing: assign each row to the fixed token-budget
+    training sequence where its text starts — ``seq_id =
+    floor((running_sum - n_tokens) / budget)`` over an id-ordered
+    running-sum window within ``part_cols`` (default ``["lang"]``).
+    The packing every LLM data loader needs before concat-and-chunk.
+
+    SCALE: a prefix sum cannot parallelize within its window key, so
+    the bare per-lang window is a serial funnel — at 100 TB "en" is
+    most of the corpus and would flow through ONE task. Pass
+    ``n_buckets`` to subdivide the key: a deterministic
+    ``hash_bucket(order_col, n_buckets)`` column joins the window
+    partition key and each (lang, bucket) packs independently and
+    concurrently. Sequences never span buckets — the loader shards by
+    the same hash, so a (lang, bucket, seq_id) triple names a sequence
+    exactly as (lang, seq_id) did, and within every bucket the
+    assignment is IDENTICAL to running the unbucketed packer on that
+    bucket's rows alone (contract pinned by
+    tests/test_pack_sequences.py). Choose n_buckets ≈ corpus_tokens /
+    (tokens a single task should prefix-sum, ~10^8): buckets are
+    hash-uniform, so the funnel width drops n_buckets-fold.
+    """
+    from pyspark.sql import Window
+
+    keys = list(part_cols) if part_cols is not None else ["lang"]
+    out = df
+    if n_buckets is not None:
+        out = out.withColumn(bucket_col, hash_bucket(F.col(order_col), n_buckets))
+        keys = keys + [bucket_col]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn(
+        "seq_id",
+        F.floor((F.sum(token_col).over(w) - F.col(token_col)) / float(budget)).cast(
+            "bigint"
+        ),
+    )
 
 
 def distributed_ntile(

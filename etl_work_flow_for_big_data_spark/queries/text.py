@@ -31,6 +31,9 @@ from etl_work_flow_for_big_data_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from etl_work_flow_for_big_data_spark.operators.transforms import (
+    pack_sequences as pack_window,
+)
 from etl_work_flow_for_big_data_spark.queries import query
 
 #: DuckDB fragment: filtered whitespace tokens of documents.text
@@ -635,27 +638,53 @@ def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The packing every LLM data loader "
     "needs before concat-and-chunk. SCALE NOTE: the per-lang running "
     "sum is a serial funnel by contract (a prefix sum cannot "
-    "parallelize within its key). At 100 TB, subdivide the key — "
-    "partition by (lang, split_assign-style hash bucket of doc_id) "
-    "so each bucket packs independently; sequences never spanned "
-    "buckets anyway once the loader shards by the same hash.",
+    "parallelize within its key). At 100 TB, subdivide the key — see "
+    "pack_sequences_bucketed (operators.transforms.pack_sequences "
+    "with n_buckets), which partitions by (lang, hash bucket of "
+    "doc_id) so each bucket packs independently; sequences never "
+    "spanned buckets anyway once the loader shards by the same hash.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tok = token_count(F.col("text")).cast("int")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     t = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
-    return t.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0)
-        .cast("bigint")
-        .alias("seq_id"),
+    return pack_window(t).select("doc_id", "lang", "n_tokens", "seq_id")
+
+
+@query(
+    "pack_sequences_bucketed",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), __t -> len(__t) > 0)) AS INT)
+               AS n_tokens,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT)
+                  % 8 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 512.0) AS BIGINT) AS seq_id
+    FROM t
+    """,
+    doc="I4 sequence packing, 100-TB form: the per-lang prefix sum is "
+    "a serial funnel by contract (pack_sequences' documented "
+    "scale-killer), so the window partition key is subdivided by a "
+    "deterministic md5 hash bucket of doc_id (8 here; sized by "
+    "tokens-per-task at scale) — each (lang, bucket) packs "
+    "independently and concurrently, and within every bucket the "
+    "assignment is identical to unbucketed packing of that bucket's "
+    "rows (contract pinned by tests/test_pack_sequences.py). "
+    "(lang, bucket, seq_id) names a sequence; loaders shard by the "
+    "same hash family as split_assign/mix_weighted.",
+)
+def pack_sequences_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("int")
+    t = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return pack_window(t, n_buckets=8).select(
+        "doc_id", "lang", "bucket", "n_tokens", "seq_id"
     )
 
 

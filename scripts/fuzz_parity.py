@@ -316,7 +316,8 @@ def _elongate(tables: dict, rng: random.Random) -> dict:
     out = dict(tables)
     rows, schema = tables["documents"]
     new_rows = []
-    for r in rows:
+    row0_changed = False
+    for i, r in enumerate(rows):
         r = list(r)
         if r[1] is not None and rng.random() < 0.5:
             run = _long_run(rng)
@@ -328,9 +329,21 @@ def _elongate(tables: dict, rng: random.Random) -> dict:
             else:
                 r[1] = r[1] + run
             r[4] = len(r[1])
+            if i == 0:
+                row0_changed = True
         new_rows.append(tuple(r))
-    if len(new_rows) >= 4 and new_rows[0][1] is not None:
-        # mirror gen_tables' forced exact duplicate
+    # mirror gen_tables' forced exact duplicate — but ONLY when row 0's
+    # text was actually elongated here AND row 1 still carries text
+    # (r10 fix: the unconditional overwrite discarded row 1's own
+    # elongation when row 0 drew no change, and resurrected a text a
+    # prior null_heavy pass had nulled — both narrowed the sampled
+    # pathology space; rng consumption is untouched, pinned seeds stand)
+    if (
+        len(new_rows) >= 4
+        and row0_changed
+        and new_rows[0][1] is not None
+        and new_rows[1][1] is not None
+    ):
         new_rows[1] = (new_rows[1][0],) + new_rows[0][1:]
     out["documents"] = (new_rows, schema)
 
@@ -642,6 +655,13 @@ def main() -> None:
     # The swept range is recorded in SCALE.md each round. Mode flags
     # are seed-derived per trial (see the loop below) so waves of any
     # size sample every axis and its compositions.
+    # NOTE (r10): the r9 switch to seed-derived flags means pre-r9
+    # wave seeds recorded in SCALE.md (70001+, 80001+) no longer
+    # replay with the same modes through this CLI — the seed now
+    # derives different flags than the old index-bit scheme produced.
+    # Historical waves replay only through the explicit-flag pins in
+    # tests/test_fuzz_parity.py, which pass modes to gen_tables
+    # directly.
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     base_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 80001
     # argv[3]: comma-separated mode flags FORCED on for every trial

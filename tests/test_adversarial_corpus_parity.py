@@ -57,6 +57,7 @@ TEXT_FAMILY = [
     "mm_resize",
     "split_assign",
     "pack_sequences",
+    "pack_sequences_bucketed",
     "mix_weighted",
     "text_tokens",
     "text_token_regex",

@@ -60,8 +60,10 @@ def test_sample_quota_plans_window_group_limit(spark, sf_dir):
     # the shuffle, so a hot domain ships N rows per input partition
     # instead of its whole row set
     plan = _plan(spark, sf_dir, "sample_quota")
-    assert "WindowGroupLimit" in plan
-    assert "Partial" in plan
+    # pin Partial on the WindowGroupLimit line itself (a bare
+    # 'Partial' substring also matches unrelated partial aggregates,
+    # so it would keep passing if the limit regressed to Final-only)
+    assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial", plan)
 
 
 def test_join_anti_semi_physical(spark, sf_dir):
@@ -149,6 +151,7 @@ def test_pipeline_utility_plans(spark, sf_dir):
         ("split_assign", 0),
         ("mix_weighted", 0),
         ("pack_sequences", 1),
+        ("pack_sequences_bucketed", 1),
         ("route_assign", 1),
     ):
         plan = _plan(spark, sf_dir, name)
@@ -537,6 +540,7 @@ EXCHANGE_BUDGET = {
     "mm_binary_meta": 0,
     "mm_decode": 0,
     "pack_sequences": 1,
+    "pack_sequences_bucketed": 1,
     "route_assign": 1,
     "sim_ann_lsh": 1,
     "sim_ann_multiprobe": 2,

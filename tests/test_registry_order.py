@@ -9,76 +9,65 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Round-9 changed set: the seven queries whose rounded_sum/rounded_mean
-# arithmetic (and DuckDB mirrors) became per-term integer-exact with
-# decimal(38,0) accumulators this round, plus sim_pairs, whose
-# _score_block kernel became two-phase (bit-identity pinned — but a
-# changed engine gets a hard check, rule over trust). join_star /
-# join_range / agg_rollup / agg_cube additionally clear the r8
-# staleness defect: their engine or oracle changed AFTER the r8
-# rotation froze, so their r8-era change has never been hard-checked.
-CHANGED_R9 = [
-    "rate_charge",
-    "join_star",
-    "join_range",
-    "agg_groupby",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "sim_pairs",
-    "dedup_embedding",  # NEW query this round
-    "sample_quota",  # NEW query this round
-    "text_repetition",  # NEW query this round
-    # r9 ragged-probe fix: vector width joined the cosine domain on
-    # both sides — the whole sim family changed engine AND oracle
-    "sim_topk",
-    "sim_ivf_topk",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "agg_rollup",
-    "agg_cube",
+# Round-10 changed set: pack_sequences' engine was refactored onto the
+# shared operators.transforms.pack_sequences window builder (plan
+# unchanged, but changed engine → hard check, rule over trust);
+# pack_sequences_bucketed is NEW — the coded per-lang serial-funnel
+# remedy (window key subdivided by a deterministic doc_id hash
+# bucket).
+CHANGED_R10 = [
+    "pack_sequences",
+    "pack_sequences_bucketed",  # NEW query this round
 ]
 
-# Round-9 rotation debt: round 8's driver check covered exactly the
-# first 50 of the r8 ordering (CORRECTNESS_r08), so these queries'
-# last hard driver check is round 7 — the contractual two-round edge.
-# (The five r9-changed members of that same debt set — join_star,
-# join_range, agg_groupby, agg_rollup, agg_cube — are listed above.)
-STALE_R7 = [
-    "join_broadcast",
-    "join_anti",
-    "join_left",
-    "join_semi",
-    "agg_distinct",
-    "agg_conditional",
-    "agg_stats",
-    "window_rank",
-    "topk",
-    "sort_multi",
-    "set_union",
-    "agg_pivot",
-    "agg_unpivot",
-    "profile_columns",
-    "dq_validate",
-    "join_salted",
-    "agg_grouping_sets",
-    "text_tokens",
-    "text_token_regex",
-    "dedup_components",
-    "text_scrub",
-    "split_assign",
-    "pack_sequences",
-    "decontaminate",
-    "mix_weighted",
-    "route_assign",
-    "ts_gapfill",
+# Round-10 rotation debt: queries whose last hard driver check was
+# round 8 (CORRECTNESS_r08 minus CORRECTNESS_r09 — exactly the 37 the
+# r9 rotation comment predicted).
+STALE_R8 = [
+    "parse_json",
+    "serialize_json",
+    "serialize_kv",
+    "filter_required",
+    "filter_bitmask",
+    "project_rename",
+    "cast_types",
+    "case_map",
+    "scalar_string_date",
+    "null_handling",
+    "join_asof",
+    "merge_upsert",
+    "subquery_exists",
+    "subquery_scalar",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "window_analytic",
+    "window_ntile",
+    "window_range_frame",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "tpch_q12_priority_by_tier",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_simhash",
+    "dedup_apply",
+    "llm_clean_corpus",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_chunk",
+    "text_editdist",
 ]
 
 
 def test_changed_queries_all_inside_the_50_slot_window():
     names = list(load_all())
     first_50 = set(names[:50])
-    must_check = CHANGED_R9 + STALE_R7
+    must_check = CHANGED_R10 + STALE_R8
     missing = [n for n in must_check if n not in first_50]
     assert not missing, f"must-check queries outside the driver window: {missing}"
 
