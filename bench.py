@@ -181,6 +181,20 @@ def main() -> None:
         out["errors"] = errors
     if rerun_errors:
         out["rerun_errors"] = rerun_errors
+    # Attach the committed streaming-ingest record (scripts/
+    # stream_bench.py → BENCH_STREAM.json) so the per-round BENCH_r{N}
+    # capture carries the streaming surface too. Attached, not re-run:
+    # the sustained-ingest run costs minutes and its numbers are
+    # engine-reported per-batch metrics, not wall-clock — they don't
+    # drift with machine-day load the way the batch timings do.
+    stream_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"
+    )
+    try:
+        with open(stream_path) as f:
+            out["streaming"] = json.load(f)
+    except (OSError, ValueError):
+        pass
     line = json.dumps(out)
     print(line)
     # Self-insurance: the round driver's capture buffer has truncated

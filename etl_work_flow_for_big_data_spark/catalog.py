@@ -63,7 +63,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # self-tune: reading TIMESTAMP(NANOS) parquet needs the legacy conf
     # even when the caller brought an untuned (driver-owned) session
     tune_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.read
+    drifted = _drifted_schema(path)
+    if drifted is not None:
+        reader = reader.schema(drifted)
+    df = reader.parquet(path)
     if name == "events":
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
@@ -71,6 +76,60 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _drifted_schema(path: str):
+    """Schema resolution for mixed-schema directory datasets — the
+    classic 100-TB lake pathology (a year of ingest jobs: columns
+    added over time, an id column written INT32 by an old writer and
+    INT64 by the new one, struct fields reordered).
+
+    Returns ``None`` — keep Spark's default single-footer inference,
+    zero extra I/O — for the common shapes: a single parquet file
+    (the driver fixtures) or a directory whose data files all carry
+    one footer schema. Only when footers genuinely DISAGREE does it
+    return the by-name widest-type union for an explicit
+    ``.schema(...)`` scan: files missing a column read it as NULL,
+    INT32 files widen into a LONG column (Spark 4's parquet reader
+    supports widening promotions when the requested type is wider),
+    and field order stops mattering. This matches the DuckDB oracle's
+    ``union_by_name=true`` semantics, so a corrupt/evolving upstream
+    batch is a non-event, not a job abort.
+
+    Why not ``option("mergeSchema", true)``: Spark's StructType merge
+    REFUSES int-vs-long drift ([CANNOT_MERGE_SCHEMAS] — measured on
+    4.1.2), exactly the widening case a lake accumulates first. And
+    why per-footer reads are acceptable: they happen only on the
+    drifted-directory fallback path; at production scale the table's
+    schema should be DECLARED (metastore / explicit reader schema),
+    which skips this entirely — this function is the self-describing
+    fallback that turns "random file wins" nondeterminism into a
+    deterministic widest-union contract.
+    """
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    try:
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if len(files) < 2:
+            return None
+        schemas = [pq.read_schema(f) for f in files]
+        if all(s.equals(schemas[0]) for s in schemas[1:]):
+            return None
+        unified = pa.unify_schemas(schemas, promote_options="permissive")
+    except Exception:  # noqa: BLE001 — resolution is best-effort;
+        return None  # unreadable/exotic footers fall back to default
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(unified)
 
 
 def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

@@ -267,7 +267,8 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int | None = None, algorithm: str = "star"
+    pairs: DataFrame, max_iters: int | None = None, algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs. Returns
     (id, component) where component is the min id in the node's
@@ -303,9 +304,14 @@ def connected_components(
     This iterative operator can't be a single SQL statement, but the
     registered query is still hash-checked: the DuckDB oracle computes
     the exact transitive closure with a recursive CTE.
+
+    ``stats``: pass a dict to receive ``{"rounds": r}`` — the number
+    of rewiring rounds actually run (the scale probe's O(log n)
+    evidence, scripts/cc_probe.py); zero driver-side cost otherwise.
     """
     if algorithm == "star":
-        return _cc_two_phase(pairs, 30 if max_iters is None else max_iters)
+        return _cc_two_phase(pairs, 30 if max_iters is None else max_iters,
+                             stats=stats)
     if algorithm != "label":
         raise ValueError(f"algorithm must be star|label, got {algorithm!r}")
     max_iters = 10 if max_iters is None else max_iters
@@ -323,7 +329,9 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    lbl_rounds = 0
     for _ in range(max_iters):
+        lbl_rounds += 1
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy("a")
@@ -354,13 +362,18 @@ def connected_components(
         if changed == 0:
             break
     else:
+        if stats is not None:
+            stats["rounds"] = lbl_rounds
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"
         )
+    if stats is not None:
+        stats["rounds"] = lbl_rounds
     return labels
 
 
-def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
+def _cc_two_phase(pairs: DataFrame, max_iters: int,
+                  stats: dict | None = None) -> DataFrame:
     """Large-star/small-star alternation (see connected_components).
 
     Invariants each round keeps canonical: edges are (lo, hi) with
@@ -446,9 +459,11 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
     profile = _edge_profile(raw).localCheckpoint(eager=False)
     nodes = profile.select("id")
     converged = _is_star(profile)
+    rounds = 0
     for _ in range(max_iters):
         if converged:
             break
+        rounds += 1
         # large-star: symmetrize so every node is a center once per
         # neighbor; m = min(neighborhood ∪ {center}). Output may carry
         # duplicate edges (no distinct here — one less exchange):
@@ -475,6 +490,8 @@ def _cc_two_phase(pairs: DataFrame, max_iters: int) -> DataFrame:
             .localCheckpoint(eager=False)  # materialized by _is_star below
         )
         converged = _is_star(_edge_profile(edges))
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations"

@@ -91,17 +91,27 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session",
     """
     WITH gaps AS (
+      -- rn is computed in the SAME window pass as LAG (identical OVER
+      -- spec, one sort), then the cumulative sum below orders by rn —
+      -- a UNIQUE key. Ordering the second pass by the non-unique ts
+      -- made the oracle nondeterministic on duplicate (user_id, ts)
+      -- rows over multi-file scans: the two passes could order the
+      -- tied peers differently, splitting one session into two (fuzz
+      -- seed 100002, drift+dupstorm — count flipped 31/32 run to run).
+      -- Full-row duplicates make any SINGLE consistent tie order yield
+      -- the same sessions; rn pins that consistency.
       SELECT user_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS is_new
+                  THEN 1 ELSE 0 END AS is_new,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
       FROM events
       WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM gaps
     )

@@ -475,6 +475,90 @@ def _nullify(tables: dict, rng: random.Random) -> dict:
     return out
 
 
+#: drift mode (r10 wave 12, the SHAPE axis): every earlier axis
+#: mutates VALUES; none mutates the files' schemas — yet a real lake
+#: is a directory written by many jobs over months (columns added
+#: over time, ids INT32 from an old writer and INT64 from the new
+#: one, fields reordered). Per drifted table: which non-key nullable
+#: columns a file may be missing, and which id columns may narrow to
+#: INT32 when their values fit. Targets are the three tables whose
+#: query families span scans/joins/windows/text; embeddings is
+#: excluded (array<float> unification is not a lake-evolution shape).
+DRIFT_TARGETS = {
+    "documents": {"droppable": ["source", "n_chars"],
+                  "narrowable": ["doc_id"]},
+    "events": {"droppable": ["props", "value"],
+               "narrowable": ["event_id", "user_id"]},
+    "orders": {"droppable": ["o_orderpriority", "o_orderstatus"],
+               "narrowable": ["o_orderkey", "o_custkey"]},
+}
+
+
+def write_drifted(spark, rows, schema: str, dest: str, spec: dict,
+                  rng: random.Random) -> None:
+    """Write one table as a TWO-FILE parquet directory whose footers
+    disagree: the second half of the rows is written by a simulated
+    "other ingest job" that may drop a nullable non-key column, write
+    an id column as INT32, and/or reorder fields — composed per trial.
+    Which half lands first alphabetically is also drawn, because the
+    engine contract under test (catalog._drifted_schema by-name
+    widest-type union, mirrored by duck's union_by_name) must be
+    file-order independent — Spark's default "random footer wins"
+    inference is exactly the bug this axis exists to keep out.
+
+    Rows are split positionally, not by key, so every value pathology
+    the earlier axes planted lands on both sides of the schema seam.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [c.strip().split(" ", 1)[0].strip("`")
+            for c in schema.split(",")]
+    if len(rows) < 4:
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("overwrite").parquet(dest))
+        return
+    cut = len(rows) // 2
+    df_a = spark.createDataFrame(rows[:cut], schema)
+    df_b = spark.createDataFrame(rows[cut:], schema)
+    drop = rng.random() < 0.7
+    narrow = rng.random() < 0.7
+    reorder = rng.random() < 0.7
+    # draw every flag first (pure function of the rng stream), then
+    # guarantee at least one pathology so a drift trial never
+    # degenerates to a uniform two-file write
+    if not (drop or narrow or reorder):
+        reorder = True
+    bcols = list(df_b.columns)
+    if drop:
+        bcols.remove(rng.choice(spec["droppable"]))
+    if reorder:
+        rng.shuffle(bcols)
+    narrowed: set[str] = set()
+    if narrow:
+        victim = rng.choice(spec["narrowable"])
+        vals = [r[cols.index(victim)] for r in rows[cut:]]
+        if all(v is None or -(2 ** 31) <= v < 2 ** 31 for v in vals):
+            narrowed = {victim}
+    df_b = df_b.select(*[
+        F.col(c).cast("int").alias(c) if c in narrowed else F.col(c)
+        for c in bcols
+    ])
+    b_first = rng.random() < 0.5
+    halves = [df_a, df_b]
+    if b_first:
+        halves.reverse()
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest)
+    for i, half in enumerate(halves):
+        staging = dest + f"__stage{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in sorted(os.listdir(staging))
+                    if f.endswith(".parquet"))
+        shutil.move(os.path.join(staging, part),
+                    os.path.join(dest, f"part-{i:03d}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def gen_tables(rng: random.Random, skew: bool = False, wide_ts: bool = False,
                null_heavy: bool = False, tiny: bool = False,
                astral: bool = False,
@@ -702,6 +786,9 @@ def main() -> None:
         longtext = mrng.random() < 0.3 or "longtext" in forced
         dupstorm = mrng.random() < 0.3 or "dupstorm" in forced
         ragged = mrng.random() < 0.25 or "ragged" in forced
+        # drift draws LAST so every pre-r10 flag keeps its seed-derived
+        # value (appending a draw never shifts earlier ones)
+        drift = mrng.random() < 0.25 or "drift" in forced
         bignum = "bignum" in forced
         rng = random.Random(seed)
         tables = gen_tables(rng, skew=skew, wide_ts=wide_ts,
@@ -711,12 +798,21 @@ def main() -> None:
         tmp = tempfile.mkdtemp(prefix=f"fuzz_parity_{seed}_")
         try:
             for name, (rows, schema) in tables.items():
-                (spark.createDataFrame(rows, schema).coalesce(1)
-                 .write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet")))
+                dest = os.path.join(tmp, f"{name}.parquet")
+                if drift and name in DRIFT_TARGETS:
+                    write_drifted(spark, rows, schema, dest,
+                                  DRIFT_TARGETS[name], rng)
+                else:
+                    (spark.createDataFrame(rows, schema).coalesce(1)
+                     .write.mode("overwrite").parquet(dest))
             con = duckdb.connect()
+            # union_by_name mirrors the engine's by-name widest-type
+            # footer resolution (catalog._drifted_schema) on drifted
+            # directories; identical footers make it a no-op
+            ubn = ", union_by_name=true" if drift else ""
             for name in tables:
                 con.sql(f"CREATE VIEW {name} AS SELECT * FROM "
-                        f"read_parquet('{tmp}/{name}.parquet/*.parquet')")
+                        f"read_parquet('{tmp}/{name}.parquet/*.parquet'{ubn})")
             n_ok = 0
             swept = ({q: registry[q] for q in only_queries}
                      if only_queries else registry)
@@ -735,7 +831,7 @@ def main() -> None:
                 + ("+null" if null_heavy else "") + ("+tiny" if tiny else "") \
                 + ("+astral" if astral else "") + ("+bignum" if bignum else "") \
                 + ("+longtext" if longtext else "") + ("+dupstorm" if dupstorm else "") \
-                + ("+ragged" if ragged else "")
+                + ("+ragged" if ragged else "") + ("+drift" if drift else "")
             print(f"trial seed={seed} [{mode}]: {n_ok}/{len(swept)} ok", flush=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
