@@ -148,3 +148,33 @@ def test_against_fixture_pairs(spark, sf_dir):
     nodes = {x for p in pair_rows for x in p}
     assert set(labels) == nodes
     assert labels == _union_find_truth(pair_rows)
+
+
+def test_broom_graph_rounds_stay_logarithmic(spark):
+    """The star-CC worst case at test scale: a shuffled-id chain
+    (diameter = n/2 — min-label locality useless) whose middle node
+    also roots a star fan of 40% of the nodes (the skew funnel), plus
+    isolated pairs — the scripts/cc_probe.py shape. Pins that the
+    round count stays ~log n (the 100-TB convergence claim; label
+    propagation would need ~n/2 rounds here) and that fast
+    convergence is convergence to the TRUE labels."""
+    import math
+    import random
+    import sys
+    import os
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+        ),
+    )
+    from cc_probe import broom_edges, union_find
+
+    n = 20_000
+    edges = broom_edges(n, random.Random(4242))
+    stats: dict = {}
+    got = _cc(spark, edges, stats=stats)
+    assert got == union_find(edges)
+    assert stats["rounds"] <= 2 * math.log2(n) + 4, stats
