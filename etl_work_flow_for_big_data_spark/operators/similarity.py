@@ -377,9 +377,10 @@ def ivf_topk(
     n_centroids: int = 16,
     k: int = 5,
     kmeans_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid, then
-    answer each query from its own cluster only.
+    answer each query from its ``nprobe`` nearest clusters.
 
     The initial centroid set is deterministic (the first
     ``n_centroids`` ids); ``kmeans_iters`` Lloyd iterations
@@ -387,13 +388,25 @@ def ivf_topk(
     iters=0 because refined means are FP-order-dependent across
     engines; library callers wanting real IVF recall use iters>=2.
 
+    ``nprobe`` is the standard IVF recall lever: a true neighbor
+    sitting just across a cluster boundary is found by also searching
+    the query's 2nd..nth nearest clusters. Only the QUERY side fans
+    out (each query joins nprobe cluster ids instead of one); the
+    corpus-side index is untouched, so the big-table cost at 100 TB
+    is unchanged and candidate volume scales ~linearly in nprobe —
+    measured recall/cost curve in SCALE.md (r10). The query's own
+    assigned cluster is always probed (covers the iters=0
+    centroid-owns-itself convention).
+
     Scale shape: centroid assignment is one kernel pass (O(n·c));
-    search is an equi-join on cluster id, scoring O(n·q/c) in
+    search is an equi-join on cluster id, scoring O(n·q·nprobe/c) in
     expectation — the inverted-file trade. Deterministic end-to-end at
     iters=0: ties in assignment break on centroid id, ranking on
     rounded cosine + candidate id.
     Returns (q_vec_id, rank, c_vec_id, cos_sim).
     """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
 
     centroids = [
@@ -425,14 +438,40 @@ def ivf_topk(
             ),
         )
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
-    q = (
-        vecs.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("q_vec_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("cluster"),
+    if nprobe > 1:
+        # top-nprobe clusters per query by centroid cosine, UNION the
+        # assigned cluster (identical at iters>0; at iters=0 a query
+        # that IS a centroid owns its cluster by convention while its
+        # self-score is excluded from `scored`)
+        probes = (
+            scored.filter(F.col("d1").isin(query_ids))
+            .withColumn("__rn", F.row_number().over(w_assign))
+            .filter(F.col("__rn") <= nprobe)
+            .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
         )
-    )
+        q_clusters = (
+            probes.union(assigned.filter(F.col(id_col).isin(query_ids)))
+            .distinct()
+        )
+        q = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .filter(F.col(id_col).isin(query_ids))
+            .join(q_clusters, id_col)
+            .select(
+                F.col(id_col).alias("q_vec_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.col("cluster"),
+            )
+        )
+    else:
+        q = (
+            vecs.filter(F.col(id_col).isin(query_ids))
+            .select(
+                F.col(id_col).alias("q_vec_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.col("cluster"),
+            )
+        )
     c = vecs.select(
         F.col(id_col).alias("c_vec_id"),
         F.col(vec_col).alias("c_vec"),

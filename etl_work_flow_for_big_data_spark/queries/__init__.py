@@ -89,9 +89,17 @@ def _tuned(fn):
 # every round. NEW/CHANGED queries must be added to the front to
 # receive a slot.
 _CHECK_PRIORITY = [
-    # -- engine changed / NEW in round 10 (pack family subdivision)
+    # -- engine changed / NEW in round 10 (pack family subdivision;
+    #    ivf_topk grew the nprobe lever — the registered query runs
+    #    the unchanged nprobe=1 branch, but changed engine → front
+    #    slot, rule over trust). window_session's ORACLE changed in
+    #    r10 (the drift-wave tie-consistency fix) — it already holds
+    #    a slot in the debt list below. catalog.load_table gained the
+    #    drifted-directory schema resolution, inert on the driver's
+    #    single-file fixtures (directory datasets only).
     "pack_sequences",
     "pack_sequences_bucketed",  # NEW in round 10 (I4 funnel-free packing)
+    "sim_ivf_topk",
     # -- rotation debt: last hard driver check round 8
     "parse_json",
     "serialize_json",

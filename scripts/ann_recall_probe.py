@@ -78,8 +78,11 @@ def main() -> None:
     )
     n = corpus.count()
     # spread queries across replicas (ids shift by 10^10 per replica)
-    qids = [r.vec_id for r in corpus.orderBy((F.col("vec_id") * 2654435761) % 9973,
-                                             "vec_id").limit(N_QUERIES).collect()]
+    # replica ids are shifted by i*10^10, so reduce BEFORE multiplying
+    # (vec_id * constant would overflow ANSI long on the shifted ids)
+    spread = ((F.col("vec_id") % 100_003) * 2654435761) % 9973
+    qids = [r.vec_id for r in corpus.orderBy(spread, "vec_id")
+            .limit(N_QUERIES).collect()]
     queries = corpus.filter(F.col("vec_id").isin(qids))
 
     exact_rows = topk_cosine(queries, corpus, "vec_id", "embedding", k=K).collect()
@@ -119,18 +122,22 @@ def main() -> None:
             print(entry, file=sys.stderr)
 
     for n_centroids in (16, 64, 256):
-        t0 = time.perf_counter()
-        res = ivf_topk(corpus, qids, "vec_id", "embedding",
-                       n_centroids=n_centroids, k=K, kmeans_iters=2)
-        rows = res.collect()
-        wall = time.perf_counter() - t0
-        # IVF candidate cost ~ sum over query clusters of cluster size
-        entry = {"n_centroids": n_centroids,
-                 "recall": recall_at_k(exact, rows),
-                 "cand_pairs_expected": round(n * len(exact) / n_centroids),
-                 "wall_sec": round(wall, 2)}
-        record["ivf"].append(entry)
-        print(entry, file=sys.stderr)
+        for nprobe in (1, 2, 4):
+            t0 = time.perf_counter()
+            res = ivf_topk(corpus, qids, "vec_id", "embedding",
+                           n_centroids=n_centroids, k=K, kmeans_iters=2,
+                           nprobe=nprobe)
+            rows = res.collect()
+            wall = time.perf_counter() - t0
+            # IVF candidate cost ~ nprobe/n_centroids of the corpus
+            # per query, in expectation
+            entry = {"n_centroids": n_centroids, "nprobe": nprobe,
+                     "recall": recall_at_k(exact, rows),
+                     "cand_pairs_expected": round(
+                         n * len(exact) * nprobe / n_centroids),
+                     "wall_sec": round(wall, 2)}
+            record["ivf"].append(entry)
+            print(entry, file=sys.stderr)
 
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)

@@ -21,6 +21,13 @@ Structured Streaming itself reports per batch
    Additionally reported: state-store rows and bytes over the run
    (final batch's stateOperators), i.e. does state stay bounded while
    data keeps arriving.
+3. **stateful** — the G8 custom per-key processor
+   (running_totals_per_key: two scalars of keyed, checkpointed state
+   per user; transformWithState when the runtime can execute it, the
+   applyInPandasWithState fallback otherwise — this sandbox lacks
+   protobuf, so the record measures the fallback engine). The state
+   contract under measurement: O(keys) rows regardless of rows
+   ingested.
 
 Volumes default to 50k and 200k rows (20 micro-batches each) so the
 record shows whether per-batch overhead amortizes — the 100-TB
@@ -221,6 +228,48 @@ def bench_windowed(spark, tmp: str, n_rows: int) -> dict:
     return out
 
 
+def bench_stateful(spark, tmp: str, n_rows: int) -> dict:
+    from etl_work_flow_for_big_data_spark.streaming.stateful import (
+        running_totals_per_key,
+    )
+
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    per = n_rows // N_BATCHES
+    base = spark.createDataFrame([(i,) for i in range(per)], "i long")
+    for b in range(N_BATCHES):
+        (
+            base.select(
+                (F.col("i") % 1000).alias("user_id"),
+                (F.col("i") % 97 * 1.5).alias("value"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"b{b:04d}"))
+        )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    totals = running_totals_per_key(stream, key="user_id", value_col="value")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").format("noop").save()
+
+    t0 = time.perf_counter()
+    q = _drain(
+        totals.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+    )
+    wall = time.perf_counter() - t0
+    out = _progress_stats(q)
+    out["wall_sec"] = round(wall, 2)
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -237,7 +286,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     record: dict = {"metric": "streaming_sustained_ingest",
                     "n_batches": N_BATCHES, "pipelines": {}}
-    for name, fn in (("mediation", bench_mediation), ("windowed", bench_windowed)):
+    for name, fn in (("mediation", bench_mediation), ("windowed", bench_windowed),
+                     ("stateful", bench_stateful)):
         record["pipelines"][name] = {}
         for n in volumes:
             tmp = tempfile.mkdtemp(prefix=f"stream_bench_{name}_{n}_")

@@ -18,6 +18,12 @@ from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 CHANGED_R10 = [
     "pack_sequences",
     "pack_sequences_bucketed",  # NEW query this round
+    # ivf_topk grew the nprobe recall lever; the registered query runs
+    # the unchanged nprobe=1 branch, but the rule is the rule
+    "sim_ivf_topk",
+    # oracle changed in r10 (drift-wave tie-consistency fix); also in
+    # STALE_R8 below — listed once there, named here for the audit
+    "window_session",
 ]
 
 # Round-10 rotation debt: queries whose last hard driver check was

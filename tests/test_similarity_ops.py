@@ -416,3 +416,89 @@ def test_cosine_pairs_survives_downstream_column_pruning(spark):
     pairs = cosine_pairs(df, "vec_id", "embedding", threshold=0.9, dim=8)
     drop = {r["d2"] for r in pairs.select("d2").distinct().collect()}
     assert drop == {100}
+
+
+class TestIvfNprobe:
+    """nprobe — the standard IVF recall lever (r10): a true neighbor
+    just across a cluster boundary is found by also searching the
+    query's 2nd..nth nearest clusters; only the query side fans out."""
+
+    @pytest.fixture(scope="class")
+    def boundary_corpus(self, spark):
+        # centroid directions e0, e1; query 10 sits in cluster 0;
+        # its TRUE nearest neighbor 20 leans toward e1 just enough to
+        # be ASSIGNED to cluster 1 while still closest to the query —
+        # the cross-boundary miss nprobe exists for. Background
+        # vectors fill both clusters.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (10, [0.9, 0.40, 0.0, 0.0]),   # query: cluster 0
+            (20, [0.72, 0.73, 0.0, 0.0]),  # its nearest; cluster 1
+            (30, [1.0, 0.05, 0.2, 0.0]),   # cluster-0 background
+            (31, [0.95, 0.0, 0.0, 0.2]),
+            (40, [0.0, 1.0, 0.2, 0.0]),    # cluster-1 background
+            (41, [0.05, 0.95, 0.0, 0.2]),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def _neighbors(self, corpus, nprobe):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        out = ivf_topk(
+            corpus, [10], "vec_id", "embedding",
+            n_centroids=2, k=1, nprobe=nprobe,
+        ).collect()
+        return [(r["q_vec_id"], r["rank"], r["c_vec_id"]) for r in out]
+
+    def test_nprobe_recovers_cross_boundary_neighbor(self, boundary_corpus):
+        # single-probe searches cluster 0 only -> best is a background
+        # vector; nprobe=2 reaches cluster 1 and finds the true top-1
+        assert self._neighbors(boundary_corpus, 1)[0][2] != 20
+        assert self._neighbors(boundary_corpus, 2)[0] == (10, 1, 20)
+
+    def test_nprobe_equals_one_matches_default(self, boundary_corpus):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        a = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                boundary_corpus, [10, 30], "vec_id", "embedding",
+                n_centroids=2, k=3,
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in ivf_topk(
+                boundary_corpus, [10, 30], "vec_id", "embedding",
+                n_centroids=2, k=3, nprobe=1,
+            ).collect()
+        )
+        assert a == b
+
+    def test_nprobe_validates(self, boundary_corpus):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        with pytest.raises(ValueError, match="nprobe"):
+            ivf_topk(boundary_corpus, [10], "vec_id", "embedding", nprobe=0)
+
+    def test_nprobe_composes_with_refinement(self, boundary_corpus):
+        from etl_work_flow_for_big_data_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        out = ivf_topk(
+            boundary_corpus, [10], "vec_id", "embedding",
+            n_centroids=2, k=1, kmeans_iters=2, nprobe=2,
+        ).collect()
+        assert [(r["q_vec_id"], r["rank"], r["c_vec_id"]) for r in out] == [
+            (10, 1, 20)
+        ]
