@@ -100,6 +100,7 @@ _CHECK_PRIORITY = [
     "pack_sequences",
     "pack_sequences_bucketed",  # NEW in round 10 (I4 funnel-free packing)
     "sim_ivf_topk",
+    "sim_ivf_nprobe",  # NEW in round 10 (I3 nprobe recall lever)
     # -- rotation debt: last hard driver check round 8
     "parse_json",
     "serialize_json",

@@ -250,6 +250,66 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_nprobe",
+    f"""
+    WITH {_DUCK_VALID_EMB},
+    cent AS (SELECT vec_id AS cid, embedding AS cvec FROM v WHERE vec_id < 16),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY ROUND({_duck_cos('e.embedding', 'c.cvec')}, 6) DESC, c.cid
+             ) AS rn
+      FROM v e JOIN cent c ON e.vec_id <> c.cid
+    ),
+    asg AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id < 16 THEN vec_id ELSE cid END AS cluster
+      FROM a WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, cid AS cluster FROM a
+      WHERE vec_id IN (16, 17, 18, 19, 20) AND rn <= 2
+      UNION
+      SELECT vec_id, cluster FROM asg WHERE vec_id IN (16, 17, 18, 19, 20)
+    ),
+    q AS (
+      SELECT p.vec_id, e.embedding, p.cluster
+      FROM probes p JOIN v e ON e.vec_id = p.vec_id
+    )
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                      AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)  AS cos_sim
+    FROM q JOIN asg c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+    QUALIFY rank <= 5
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 IVF ANN with nprobe=2 (r10): each query searches its TWO "
+    "nearest clusters — the standard recall lever for the "
+    "cross-cluster-boundary miss, fanning out only the query side "
+    "(the corpus index is untouched, so big-table cost is unchanged "
+    "at 100 TB). Same deterministic contract as sim_ivf_topk "
+    "(centroids = first 16 ids, 6dp-rounded ranking, id tie-breaks); "
+    "measured recall/cost curve in SCALE.md.",
+)
+def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    return ivf_topk(
+        e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16,
+        k=5, nprobe=2,
+    )
+
+
+@query(
     "sim_ann_multiprobe",
     f"""
     WITH sig AS (

@@ -586,6 +586,9 @@ EXCHANGE_BUDGET = {
     # gains, an Exchange
     "dedup_embedding": 4,
     "sim_ivf_topk": 3,
+    # sim_ivf_topk's 3 plus the probe-set union/distinct exchange
+    # (query-side only; the corpus-side index path is unchanged)
+    "sim_ivf_nprobe": 4,
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,

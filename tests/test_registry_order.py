@@ -21,6 +21,7 @@ CHANGED_R10 = [
     # ivf_topk grew the nprobe recall lever; the registered query runs
     # the unchanged nprobe=1 branch, but the rule is the rule
     "sim_ivf_topk",
+    "sim_ivf_nprobe",  # NEW query this round
     # oracle changed in r10 (drift-wave tie-consistency fix); also in
     # STALE_R8 below — listed once there, named here for the audit
     "window_session",
