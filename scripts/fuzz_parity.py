@@ -15,9 +15,9 @@ Usage: python scripts/fuzz_parity.py [n_trials] [base_seed]
 [forced_modes_csv] [queries_csv]
 (base_seed convention: round N uses N*10000+1. Mode flags per trial
 are drawn from a seed-derived rng — skew/wide_ts/null_heavy at 50%,
-tiny/astral/ragged at 25%, longtext/dupstorm at 30% — so a wave of ANY
-size
-samples every axis and its compositions; the flags are a pure
+tiny/astral/ragged/drift at 25%, longtext/dupstorm at 30% — so a wave
+of ANY
+size samples every axis and its compositions; the flags are a pure
 function of the seed, so a failure replays from the seed alone. The
 pre-r9 harness used index-bit rotation (%2 skew, %4 wide_ts, ...),
 which needed 2^k trials to reach axis k. forced_modes_csv turns a
