@@ -22,6 +22,9 @@ CHANGED_R10 = [
     # the unchanged nprobe=1 branch, but the rule is the rule
     "sim_ivf_topk",
     "sim_ivf_nprobe",  # NEW query this round
+    # connected_components gained the stats rounds-counter out-param
+    # (semantics unchanged; instrumentation only — rule over trust)
+    "dedup_components",
     # oracle changed in r10 (drift-wave tie-consistency fix); also in
     # STALE_R8 below — listed once there, named here for the audit
     "window_session",
