@@ -35,6 +35,7 @@ from etl_work_flow_for_big_data_spark.functions.text import (
     round4_ratio,
     shingles,
     simhash16_expr,
+    tokens,
 )
 
 
@@ -47,6 +48,84 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .groupBy("text_hash")
         .agg(F.min("id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def passage_dedup(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int = 32
+) -> DataFrame:
+    """Passage-level exact dedup (the duplicated-passage removal step
+    of a corpus-prep pipeline): split each document into fixed
+    ``window_tokens`` token windows, hash each passage, keep only the
+    globally FIRST occurrence (lexicographic min (doc_id, pos)) of
+    every repeated passage, and report per document what survives —
+    the boilerplate/licence-block/navigation-chrome remover that
+    document-level dedup cannot see (two distinct pages sharing a
+    footer are not document duplicates).
+
+    Returns (doc_id, n_passages, n_dup, n_removed, clean_hash):
+    ``n_dup`` = passages whose hash occurs more than once in the
+    corpus, ``n_removed`` = this document's passages dropped as later
+    occurrences, ``clean_hash`` = md5 of the document's kept passages
+    re-joined in position order (md5 of '' when every passage was
+    removed) — the content fingerprint a downstream loader would see.
+    Documents with no tokens produce no output row (no passages by
+    definition; both engines agree).
+
+    Scale shape: passages are hashed BEFORE any shuffle, so the wide
+    stages move 16-byte digests plus (doc_id, pos) — never raw text
+    except the final per-document reassembly, where each passage
+    travels exactly once to its own document's reducer. Occurrence
+    counting is groupBy(hash) + an equi-join back — NOT a window over
+    the hash: a boilerplate passage shared by millions of documents
+    is a hot key, and a window partition funnels that whole key
+    through one task (unsplittable), while the groupBy gets map-side
+    partial aggregation and the join inherits AQE skew-splitting
+    (same trade as dedup_components' per-round min, measured there).
+    First-occurrence choice is a lexicographic struct MIN —
+    deterministic, order-independent, identical in DuckDB (row-value
+    MIN), no tie possible since (doc_id, pos) is unique.
+    """
+    toks = tokens(F.col(text_col))
+    w = window_tokens
+    n_pass = F.ceil(F.size("__toks") / float(w)).cast("int")
+    passages = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_pass - 1),
+                    lambda i: F.array_join(
+                        F.slice("__toks", i * w + 1, w), " "
+                    ),
+                )
+            ).alias("pos", "ptext"),
+        )
+        .withColumn("ph", F.md5("ptext"))
+    )
+    occ = passages.groupBy("ph").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    j = passages.join(occ, "ph").withColumn(
+        "keep",
+        (F.col("n_occ") == 1)
+        | (F.struct("doc_id", "pos") == F.col("first")),
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "ptext")))
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum((F.col("n_occ") > 1).cast("int")).cast("bigint").alias("n_dup"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(kept, lambda x: x["ptext"]), " "
+            )
+        ).alias("clean_hash"),
     )
 
 

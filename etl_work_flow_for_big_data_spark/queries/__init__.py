@@ -111,6 +111,7 @@ _CHECK_PRIORITY = [
     "sim_ivf_topk",
     "sim_ivf_nprobe",  # NEW in round 10 (I3 nprobe recall lever)
     "dedup_components",  # engine instrumentation (stats rounds counter)
+    "dedup_passages",  # NEW in round 10 (I2 passage-level dedup)
     # -- rotation debt: last hard driver check round 8
     "parse_json",
     "serialize_json",

@@ -250,6 +250,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_passages",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    w AS (
+      SELECT t.doc_id, CAST(u.p AS INT) AS pos,
+             array_to_string(
+               (t.toks)[CAST(u.p*32+1 AS BIGINT):CAST(u.p*32+32 AS BIGINT)],
+               ' ') AS ptext
+      FROM t, UNNEST(range(0, CAST(ceil(len(t.toks)/32.0) AS BIGINT))) AS u(p)
+      WHERE len(t.toks) > 0
+    ),
+    h AS (SELECT doc_id, pos, ptext, md5(ptext) AS ph FROM w),
+    occ AS (
+      SELECT ph, COUNT(*) AS n_occ, MIN((doc_id, pos)) AS first
+      FROM h GROUP BY ph
+    ),
+    j AS (
+      SELECT h.doc_id, h.pos, h.ptext, occ.n_occ,
+             (occ.n_occ = 1 OR (h.doc_id, h.pos) = occ.first) AS keep
+      FROM h JOIN occ ON h.ph = occ.ph
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                                  AS n_passages,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)      AS n_removed,
+           md5(COALESCE(string_agg(ptext, ' ' ORDER BY pos)
+                        FILTER (WHERE keep), ''))                     AS clean_hash
+    FROM j GROUP BY doc_id
+    """,
+    doc="I2 passage-level exact dedup (r10): 32-token windows hashed, "
+    "only the globally first occurrence of a repeated passage kept — "
+    "the boilerplate/licence/navigation remover document-level dedup "
+    "cannot see. Per-doc survivors fingerprinted via position-ordered "
+    "md5. Occurrence counting is groupBy(hash)+join, NOT a window: a "
+    "boilerplate passage is a hot key, and the groupBy/join pair is "
+    "map-side-combined and AQE-skew-splittable where a window funnels "
+    "the key through one task.",
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.operators.dedup import passage_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dedup(d, "text", "doc_id", window_tokens=32)
+
+
+@query(
     "dedup_ngram",
     f"""
     WITH {_duck_rare_shingle_index("documents")},

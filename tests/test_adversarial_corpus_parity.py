@@ -71,6 +71,7 @@ TEXT_FAMILY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_apply",
+    "dedup_passages",
     "dedup_components",
 ]
 

@@ -598,6 +598,10 @@ EXCHANGE_BUDGET = {
     "dedup_simhash": 0,
     "text_chunk": 0,
     "dedup_apply": 7,
+    # groupBy(passage hash) + per-doc reassembly agg; the occ join
+    # broadcasts at fixture scale (ceiling leaves room for the SMJ
+    # form when the occurrence side outgrows broadcast)
+    "dedup_passages": 3,
     "llm_clean_corpus": 11,
     "text_editdist": 0,
     "window_tumbling": 1,

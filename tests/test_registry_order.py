@@ -25,6 +25,7 @@ CHANGED_R10 = [
     # connected_components gained the stats rounds-counter out-param
     # (semantics unchanged; instrumentation only — rule over trust)
     "dedup_components",
+    "dedup_passages",  # NEW query this round
     # oracle changed in r10 (drift-wave tie-consistency fix); also in
     # STALE_R8 below — listed once there, named here for the audit
     "window_session",
