@@ -491,6 +491,13 @@ DRIFT_TARGETS = {
                "narrowable": ["event_id", "user_id"]},
     "orders": {"droppable": ["o_orderpriority", "o_orderstatus"],
                "narrowable": ["o_orderkey", "o_custkey"]},
+    # r10 extension (post-pin; the 100002 pin freezes its own 3-table
+    # dict): the fact table most queries join/aggregate — INT32 keys
+    # from an old writer under the widened read is the highest-value
+    # drift shape. Droppables are value columns every consumer already
+    # handles as NULL (the null_heavy equivalence class).
+    "lineitem": {"droppable": ["l_returnflag", "l_tax"],
+                 "narrowable": ["l_orderkey", "l_suppkey"]},
 }
 
 

@@ -274,7 +274,21 @@ DRIFT_TRIALS = [(100002, {"dupstorm": True})]
     ids=[f"seed{s}-drift" for s, _ in DRIFT_TRIALS],
 )
 def drift_trial(request, spark, tmp_path_factory):
-    from fuzz_parity import DRIFT_TARGETS, write_drifted
+    from fuzz_parity import write_drifted
+
+    # FROZEN r10 target set: the pin replays seed 100002's exact
+    # layout, and the drift draws continue the table rng in
+    # tables-iteration order — extending the live DRIFT_TARGETS
+    # (lineitem joined in r10 after the pin) must not re-deal this
+    # trial's pathologies.
+    DRIFT_TARGETS = {
+        "documents": {"droppable": ["source", "n_chars"],
+                      "narrowable": ["doc_id"]},
+        "events": {"droppable": ["props", "value"],
+                   "narrowable": ["event_id", "user_id"]},
+        "orders": {"droppable": ["o_orderpriority", "o_orderstatus"],
+                   "narrowable": ["o_orderkey", "o_custkey"]},
+    }
 
     seed, modes = request.param
     tmp = str(tmp_path_factory.mktemp(f"drift_{seed}"))
