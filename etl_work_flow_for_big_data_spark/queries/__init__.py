@@ -81,9 +81,10 @@ def _tuned(fn):
 # serial-funnel remedy, VERDICT r9 next-round #2) — then the exact
 # 37-query rotation debt the r9 comment predicted: every query whose
 # last hard driver check was round 8 (CORRECTNESS_r08 minus
-# CORRECTNESS_r09, recomputed this round). 39 named slots; the
-# remaining 11 back-fill from the r9-checked set in registration
-# order, so round 11 inherits a ~37-query debt again — steady state.
+# CORRECTNESS_r09, recomputed this round). 43 named slots (6
+# changed/new + 37 debt); the remaining 7 back-fill from the
+# r9-checked set in registration order, so round 11 inherits a
+# ~40-query debt — steady state.
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
