@@ -114,22 +114,46 @@ def _drifted_schema(path: str):
     if not os.path.isdir(path):
         return None
     try:
-        files = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        )
+        # os.walk, not listdir: nested layouts (multi-job output dirs,
+        # compaction subfolders) keep data files below the top level,
+        # and a drift seam between subdirectories is the same
+        # nondeterministic random-footer-wins read this function
+        # exists to prevent. Hidden/metadata files (_SUCCESS, .crc,
+        # _delta_log contents) are skipped at every level. Hive-style
+        # partition directories (a `key=value` path component) bail to
+        # default inference instead: partition columns live in the
+        # directory names, not the footers, so an explicit
+        # footer-union schema would silently DROP them from the scan —
+        # worse than the drift it fixes. (Declared-schema reads remain
+        # the production answer for partitioned lakes.)
+        files: list[str] = []
+        for root, dirs, names in os.walk(path):
+            parts = [p for p in os.path.relpath(root, path).split(os.sep)
+                     if p and p != "."]
+            if any("=" in p for p in parts):
+                return None
+            if any(p.startswith(("_", ".")) for p in parts):
+                continue
+            files.extend(
+                os.path.join(root, f)
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        files.sort()
         if len(files) < 2:
             return None
         schemas = [pq.read_schema(f) for f in files]
         if all(s.equals(schemas[0]) for s in schemas[1:]):
             return None
         unified = pa.unify_schemas(schemas, promote_options="permissive")
+        # inside the try: a pyarrow-unifiable schema can still hold a
+        # type Spark cannot map (e.g. unsigned ints from a foreign
+        # writer) — conversion failure falls back like footer failure
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(unified)
     except Exception:  # noqa: BLE001 — resolution is best-effort;
         return None  # unreadable/exotic footers fall back to default
-    from pyspark.sql.pandas.types import from_arrow_schema
-
-    return from_arrow_schema(unified)
 
 
 def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:

@@ -67,9 +67,16 @@ def _percentile(xs: list[float], p: float) -> float:
 
 def _drain(writer, timeout_s: int = 600):
     q = writer.start()
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # a timed-out query's partial recentProgress must not fold
+        # into the record as a normal measurement (r10 ADVICE)
+        q.stop()
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_s}s"
+        )
     return q
 
 

@@ -114,6 +114,72 @@ def test_single_file_and_uniform_directory_skip_resolution(tmp_path, sf_dir):
     assert _drifted_schema(str(d)) is None
 
 
+def test_nested_directory_drift_is_resolved(tmp_path):
+    """Multi-job output layouts nest data files below the top level
+    (compaction subfolders, per-batch dirs); a drift seam between
+    subdirectories must resolve like a flat one (r10 ADVICE)."""
+    d = tmp_path / "t.parquet"
+    (d / "batch_a").mkdir(parents=True)
+    (d / "batch_b").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "x": pa.array(["a"])}),
+        str(d / "batch_a" / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int32())}),
+        str(d / "batch_b" / "part-000.parquet"),
+    )
+    # metadata subdir contents must not participate
+    (d / "_delta_log").mkdir()
+    pq.write_table(
+        pa.table({"poison": pa.array([0], pa.int64())}),
+        str(d / "_delta_log" / "part-000.parquet"),
+    )
+    s = _drifted_schema(str(d))
+    assert s is not None
+    assert {f.name: f.dataType.simpleString() for f in s.fields} == {
+        "id": "bigint",
+        "x": "string",
+    }
+
+
+def test_hive_partitioned_layout_bails_to_default_inference(tmp_path):
+    """Partition columns live in directory names, not footers — an
+    explicit footer-union schema would silently drop them from the
+    scan, so `key=value` layouts keep default inference (documented
+    limitation; declared schemas are the production answer there)."""
+    d = tmp_path / "t.parquet"
+    (d / "lang=en").mkdir(parents=True)
+    (d / "lang=fr").mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64())}),
+        str(d / "lang=en" / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int32())}),
+        str(d / "lang=fr" / "part-000.parquet"),
+    )
+    assert _drifted_schema(str(d)) is None
+
+
+def test_spark_unmappable_union_falls_back(tmp_path):
+    """pyarrow can unify schemas whose union Spark cannot map (e.g.
+    unsigned ints from a foreign writer); conversion failure must fall
+    back to default inference, not raise out of load_table
+    (r10 ADVICE)."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.uint64()), "x": pa.array(["a"])}),
+        str(d / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.uint64())}),
+        str(d / "part-001.parquet"),
+    )
+    assert _drifted_schema(str(d)) is None
+
+
 def test_drifted_schema_is_deterministic_not_file_order_dependent(tmp_path):
     """The pathology this replaces: default inference picks 'a random
     data file'. The union must not depend on which file drifts first."""
