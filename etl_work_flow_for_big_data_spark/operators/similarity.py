@@ -369,6 +369,62 @@ def kmeans_inertia(
     return float(row["objective"])
 
 
+def _ivf_assign_window():
+    """Deterministic nearest-centroid ranking shared by assignment and
+    probe selection: rounded cosine desc, centroid id asc on ties —
+    engine-independent (the oracle mirrors it exactly). Built lazily:
+    classic Window construction needs an active session."""
+    return Window.partitionBy("d1").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("d2")
+    )
+
+
+def _ivf_scored_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    kmeans_iters: int,
+):
+    """Shared IVF front half (ivf_topk one-shot and ivf_build both run
+    it): deterministic centroid set (first ``n_centroids`` ids,
+    optionally Lloyd-refined), one kernel pass scoring every vector
+    against the centroids, and the nearest-centroid assignment.
+
+    Returns ``(centroids, mode, scored, assigned)`` where ``scored``
+    is the raw (d1, d2, cos_raw) frame (probe selection reuses it) and
+    ``assigned`` is (id_col, cluster).
+    """
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+
+    centroids = [
+        (r[0], list(r[1]))
+        for r in df.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    if kmeans_iters:
+        centroids = kmeans_refine(df, id_col, vec_col, centroids, kmeans_iters)
+    mode = "full" if kmeans_iters else "all"
+    scored = pairwise_cosine(df, id_col, vec_col, centroids, mode=mode)
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(_ivf_assign_window()))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
+    )
+    if not kmeans_iters:
+        # unrefined centroids are data rows scored in 'all' mode (self
+        # excluded): nearest non-self wins above, but a centroid
+        # belongs to its own cluster by definition
+        assigned = assigned.withColumn(
+            "cluster",
+            F.when(F.col(id_col) < n_centroids, F.col(id_col)).otherwise(
+                F.col("cluster")
+            ),
+        )
+    return centroids, mode, scored, assigned
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids,
@@ -407,36 +463,10 @@ def ivf_topk(
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
-
-    centroids = [
-        (r[0], list(r[1]))
-        for r in df.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    ]
-    if kmeans_iters:
-        centroids = kmeans_refine(df, id_col, vec_col, centroids, kmeans_iters)
-    mode = "full" if kmeans_iters else "all"
-    scored = pairwise_cosine(df, id_col, vec_col, centroids, mode=mode)
-    w_assign = Window.partitionBy("d1").orderBy(
-        F.desc(F.round("cos_raw", 6)), F.asc("d2")
+    centroids, mode, scored, assigned = _ivf_scored_assign(
+        df, id_col, vec_col, n_centroids, kmeans_iters
     )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
-    )
-    if not kmeans_iters:
-        # unrefined centroids are data rows scored in 'all' mode (self
-        # excluded): nearest non-self wins above, but a centroid
-        # belongs to its own cluster by definition
-        assigned = assigned.withColumn(
-            "cluster",
-            F.when(F.col(id_col) < n_centroids, F.col(id_col)).otherwise(
-                F.col("cluster")
-            ),
-        )
+    w_assign = _ivf_assign_window()
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
     if nprobe > 1:
         # top-nprobe clusters per query by centroid cosine, UNION the
@@ -479,6 +509,233 @@ def ivf_topk(
     )
     from etl_work_flow_for_big_data_spark.functions.vectors import cosine
 
+    pairs = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("cos_sim"), "c_vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("q_vec_id", "rank", "c_vec_id", "cos_sim")
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_path: str,
+    n_centroids: int = 16,
+    kmeans_iters: int = 0,
+) -> None:
+    """Build and PERSIST an IVF index: the build-once/query-many form
+    of :func:`ivf_topk` (VERDICT r10 next-round #3).
+
+    The one-shot ``ivf_topk`` recomputes centroid assignment — a full
+    kernel pass over the corpus — on every call; the 100-TB usage
+    pattern is the opposite: assign once, persist the inverted file,
+    then serve many query batches against it. Layout written under
+    ``index_path``:
+
+    - ``postings/`` — the corpus (id, vector, cluster) written
+      ``partitionBy("cluster")``: one directory per inverted list, so
+      a query batch probing ``nprobe`` clusters scans ONLY those
+      directories (static partition pruning — the on-disk twin of the
+      in-memory inverted file). At 100 TB each cluster directory is
+      further split across files by the write parallelism; probing
+      stays proportional to data probed, never corpus size.
+    - ``centroids/`` — the k×dim centroid table (constant-size).
+    - ``meta/`` — one row pinning the build convention (n_centroids,
+      kmeans_iters, scoring mode) so the query side replicates
+      assignment semantics exactly; written through Spark so the
+      index lives on any Hadoop filesystem, not just local disk.
+
+    Assignment semantics are byte-shared with ``ivf_topk`` (same
+    :func:`_ivf_scored_assign`), so ``ivf_build`` + :func:`ivf_query`
+    ≡ ``ivf_topk`` for in-corpus queries — pinned in
+    tests/test_ivf_persisted.py.
+    """
+    centroids, mode, _scored, assigned = _ivf_scored_assign(
+        df, id_col, vec_col, n_centroids, kmeans_iters
+    )
+    spark = df.sparkSession
+    postings = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(assigned, id_col)
+        # shuffle by cluster before the partitioned write: without it
+        # every task opens a writer per cluster it touches (tasks ×
+        # n_centroids small files — the classic partitionBy fan-out);
+        # with it each inverted list is written by the tasks that own
+        # it. At 100 TB this is the same shuffle the write would
+        # otherwise pay in file-count pathology.
+        .repartition(F.col("cluster"))
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_path}/postings")
+    )
+    # constant-size sidecars go through pandas (Arrow local relation,
+    # then one shuffle task): a plain-list createDataFrame slices the
+    # rows across defaultParallelism pickled partitions, and
+    # coalesce(1) then drains all of them through ONE task's Python
+    # worker round-trips serially — measured 6-7 s for 16 rows vs
+    # ~0.5 s this way.
+    import pandas as pd
+
+    (
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "cid": [int(cid) for cid, _ in centroids],
+                    "cvec": [[float(x) for x in vec] for _, vec in centroids],
+                }
+            )
+            if centroids
+            else pd.DataFrame({"cid": [], "cvec": []}),
+            "cid long, cvec array<double>",
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/centroids")
+    )
+    (
+        spark.createDataFrame(
+            # postings_schema pins the read: an EMPTY corpus (every
+            # row outside the caller's validity domain — found by fuzz
+            # seed 80096, tiny axis) writes a partitioned directory
+            # with no data files, which schema inference cannot read;
+            # a declared-schema scan returns the empty frame instead.
+            # It is also the right 100-TB read (no footer sampling).
+            pd.DataFrame(
+                {
+                    "n_centroids": [n_centroids],
+                    "kmeans_iters": [kmeans_iters],
+                    "mode": [mode],
+                    "id_col": [id_col],
+                    "vec_col": [vec_col],
+                    "postings_schema": [postings.schema.json()],
+                }
+            ),
+            "n_centroids int, kmeans_iters int, mode string, "
+            "id_col string, vec_col string, postings_schema string",
+        )
+        .repartition(1)
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/meta")
+    )
+
+
+def _postings_schema(meta) -> "StructType":
+    """Declared scan schema for the postings read, from the meta row's
+    pinned JSON. The partition column (`cluster`) is part of it —
+    Spark resolves partition values against declared columns — and an
+    empty index (no data files at all) reads as an empty frame
+    instead of an UNABLE_TO_INFER_SCHEMA failure."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(_json.loads(meta["postings_schema"]))
+
+
+def ivf_query(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Answer a query batch from a persisted :func:`ivf_build` index.
+
+    Per batch the work is: one constant-size centroid read, one kernel
+    pass scoring the QUERY vectors against the centroids (probe
+    selection — queries are dim-table-sized by contract, same as
+    ``topk_cosine``), then a scan of ONLY the probed cluster
+    directories. The probe cluster ids are collected (≤ |queries| ×
+    (nprobe+1), driver-sized by contract) and applied as an ``isin``
+    filter so the postings read is STATIC partition pruning —
+    `.explain` shows the pruned PartitionFilters; the corpus-sized
+    side is never rescanned or reshuffled per batch. That is the
+    amortization: the corpus-wide assignment pass is paid once at
+    build, each query batch costs O(probed lists) — measured
+    one-shot-vs-amortized numbers in SCALE.md.
+
+    Probe semantics replicate ``ivf_topk`` exactly (meta pins the
+    build's scoring mode): nearest-centroid assignment with the
+    iters=0 centroid-owns-itself convention for in-corpus queries,
+    plus the top-``nprobe`` centroid clusters when ``nprobe > 1``.
+    Out-of-corpus query vectors work too (their "assigned" cluster is
+    simply the nearest centroid) — that case has no one-shot
+    equivalent, so the parity pin covers in-corpus ids.
+    Returns (q_vec_id, rank, c_vec_id, cos_sim) like ``ivf_topk``.
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    from etl_work_flow_for_big_data_spark.functions.kernels import pairwise_cosine
+    from etl_work_flow_for_big_data_spark.functions.vectors import cosine
+
+    meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+    centroids = [
+        (r["cid"], list(r["cvec"]))
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    ]
+    q_src = queries.select(F.col(id_col), F.col(vec_col))
+    scored = pairwise_cosine(q_src, id_col, vec_col, centroids, mode=meta["mode"])
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(_ivf_assign_window()))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
+    )
+    if not meta["kmeans_iters"]:
+        # the build's centroid-owns-itself convention (see
+        # _ivf_scored_assign) — recomputed, not joined from postings,
+        # so out-of-corpus queries assign uniformly; for in-corpus ids
+        # the deterministic ranking makes both routes identical
+        assigned = assigned.withColumn(
+            "cluster",
+            F.when(
+                F.col(id_col) < meta["n_centroids"], F.col(id_col)
+            ).otherwise(F.col("cluster")),
+        )
+    if nprobe > 1:
+        probes = (
+            scored.withColumn("__rn", F.row_number().over(_ivf_assign_window()))
+            .filter(F.col("__rn") <= nprobe)
+            .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
+        )
+        q_clusters = probes.union(assigned).distinct()
+    else:
+        q_clusters = assigned
+    q = q_src.join(q_clusters, id_col).select(
+        F.col(id_col).alias("q_vec_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("cluster"),
+    )
+    # driver-sized by contract (query batches are dim-table-sized):
+    # materializing the probe set turns the postings read into static
+    # partition pruning — only probed cluster directories are scanned
+    probe_ids = [
+        r["cluster"] for r in q.select("cluster").distinct().collect()
+    ]
+    c = (
+        spark.read.schema(_postings_schema(meta))
+        .parquet(f"{index_path}/postings")
+        # empty probe set (empty corpus or empty query batch): a
+        # literal false keeps the plan valid where isin([]) would not
+        .filter(
+            F.col("cluster").isin(probe_ids) if probe_ids else F.lit(False)
+        )
+        .select(
+            F.col(meta["id_col"]).alias("c_vec_id"),
+            F.col(meta["vec_col"]).alias("c_vec"),
+            F.col("cluster"),
+        )
+    )
     pairs = (
         c.join(F.broadcast(q), "cluster")
         .filter(F.col("q_vec_id") != F.col("c_vec_id"))

@@ -73,84 +73,77 @@ def _tuned(fn):
 # any query whose engine OR oracle side changed after the list was
 # drafted moves to the front before the round closes.
 #
-# Round-10 rotation (steady state): leads with the round's
-# changed/new queries — pack_sequences (engine refactored onto the
-# shared operators.transforms.pack_sequences window builder; plan
-# unchanged, but changed engine → front slot, rule over trust) and
-# pack_sequences_bucketed (NEW: the coded form of the per-lang
-# serial-funnel remedy, VERDICT r9 next-round #2) — then the exact
-# 37-query rotation debt the r9 comment predicted: every query whose
-# last hard driver check was round 8 (CORRECTNESS_r08 minus
-# CORRECTNESS_r09, recomputed this round). 43 named slots (6
-# changed/new + 37 debt); the remaining 7 back-fill from the
-# r9-checked set in registration order, so round 11 inherits a
-# ~40-query debt — steady state.
+# Round-11 rotation (steady state): leads with the round's
+# changed/new queries, then the exact 40-query rotation debt the r10
+# comment predicted: every query whose last hard driver check was
+# round 9 (CORRECTNESS_r09 minus CORRECTNESS_r10, recomputed this
+# round — and identical to the 40 names VERDICT r10 next-round #1
+# prescribes). Named slots stay ≤50 so every listed query receives a
+# driver check; the round's NEW/CHANGED queries occupy the front.
 # Every deferred query is still oracle-checked at sf0.001 by
 # tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
 # every round. NEW/CHANGED queries must be added to the front to
 # receive a slot.
 #
-# CLOSING AUDIT (r10, per the process rule): the round diff
-# (6bf394e..HEAD) touches engine/oracle surfaces via (a) the pack
-# family (operator extraction + NEW bucketed query); (b)
-# operators.similarity.ivf_topk (nprobe lever; sim_ivf_topk runs the
-# unchanged nprobe=1 branch — front slot anyway, rule over trust) and
-# the NEW sim_ivf_nprobe; (c) operators.dedup.connected_components
-# (stats round-counter instrumentation; semantics unchanged — front
-# slot anyway) → dedup_components, its only query consumer; (d)
-# window_session's ORACLE (the drift-wave tie-consistency fix) —
-# already holding a slot in the debt list below; (e)
-# catalog.load_table's drifted-directory schema resolution — inert on
-# the driver's single-file fixtures (activates only on multi-file
-# directories with disagreeing footers, covered by
-# tests/test_catalog_drift.py + the drift fuzz pins). All changed/new
-# names sit inside the first 50 (test_registry_order enforces this).
+# CLOSING AUDIT (r11, per the process rule): the round diff
+# (76e72e1..HEAD) touches engine/oracle surfaces via (a) the NEW
+# sim_ivf_persisted query (operators.similarity.ivf_build/ivf_query —
+# front slot); (b) operators.similarity.ivf_topk (refactored onto the
+# shared _ivf_assign helper; sim_ivf_topk / sim_ivf_nprobe consume it
+# — front slots, rule over trust); (c) catalog._drifted_schema
+# (os.walk recursion + hive bail + conversion-failure fallback) —
+# inert on the driver's single-file fixtures, covered by
+# tests/test_catalog_drift.py + the drift fuzz pins; (d) bench.py /
+# scripts/stream_bench.py (measurement harnesses, no query semantics).
+# kmeans_refine gained property pins but no code change. All
+# changed/new names sit inside the first 50 (test_registry_order
+# enforces this).
 _CHECK_PRIORITY = [
-    # -- engine changed / NEW in round 10 (see closing audit above)
-    "pack_sequences",
-    "pack_sequences_bucketed",  # NEW in round 10 (I4 funnel-free packing)
-    "sim_ivf_topk",
-    "sim_ivf_nprobe",  # NEW in round 10 (I3 nprobe recall lever)
-    "dedup_components",  # engine instrumentation (stats rounds counter)
-    "dedup_passages",  # NEW in round 10 (I2 passage-level dedup)
-    # -- rotation debt: last hard driver check round 8
-    "parse_json",
-    "serialize_json",
-    "serialize_kv",
-    "filter_required",
-    "filter_bitmask",
-    "project_rename",
-    "cast_types",
-    "case_map",
-    "scalar_string_date",
-    "null_handling",
-    "join_asof",
-    "merge_upsert",
-    "subquery_exists",
-    "subquery_scalar",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "window_analytic",
-    "window_ntile",
-    "window_range_frame",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "tpch_q12_priority_by_tier",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_customers",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram",
-    "dedup_simhash",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_chunk",
-    "text_editdist",
+    # -- engine changed / NEW in round 11 (see closing audit above)
+    "sim_ivf_persisted",  # NEW in round 11 (I3 build-once/query-many)
+    "sim_ivf_topk",  # engine refactor (shared _ivf_assign)
+    "sim_ivf_nprobe",  # engine refactor (shared _ivf_assign)
+    # -- rotation debt: last hard driver check round 9
+    "agg_groupby",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "join_broadcast",
+    "join_anti",
+    "join_left",
+    "join_semi",
+    "join_star",
+    "join_range",
+    "join_salted",
+    "window_rank",
+    "topk",
+    "sort_multi",
+    "set_union",
+    "sim_topk",
+    "sim_pairs",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "dedup_embedding",
+    "decontaminate",
+    "text_tokens",
+    "text_token_regex",
+    "text_scrub",
+    "text_repetition",
+    "sample_quota",
+    "split_assign",
+    "mix_weighted",
+    "route_assign",
+    "ts_gapfill",
+    "dq_validate",
+    "profile_columns",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 ]
 
 

@@ -201,9 +201,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_topk",
-    f"""
+#: shared by sim_ivf_topk (one-shot) and sim_ivf_persisted (build+
+#: query): the persisted form's parity contract IS "identical result
+#: to the one-shot operator", so they pin against the same oracle.
+_IVF_TOPK_ORACLE = f"""
     WITH {_DUCK_VALID_EMB},
     cent AS (SELECT vec_id AS cid, embedding AS cvec FROM v WHERE vec_id < 16),
     a AS (
@@ -230,7 +231,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN asg c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
     QUALIFY rank <= 5
     ORDER BY q_vec_id, rank
-    """,
+    """
+
+
+@query(
+    "sim_ivf_topk",
+    _IVF_TOPK_ORACLE,
     doc="I3 IVF-style ANN: nearest-centroid assignment (deterministic "
     "centroid set = first 16 ids) then search within the query's "
     "cluster only — the inverted-file scale path next to LSH. "
@@ -306,6 +312,53 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         e, [16, 17, 18, 19, 20], "vec_id", "embedding", n_centroids=16,
         k=5, nprobe=2,
+    )
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+@query(
+    "sim_ivf_persisted",
+    _IVF_TOPK_ORACLE,
+    doc="I3 IVF build-once/query-many (r11): ivf_build persists the "
+    "inverted file (postings PARTITIONED by cluster + centroids + "
+    "build meta), ivf_query answers a batch from it — the corpus-wide "
+    "assignment pass is paid once at build, each query batch scans "
+    "ONLY the probed cluster directories (static partition pruning, "
+    "plan-asserted in tests/test_ivf_persisted.py). Result contract: "
+    "identical to the one-shot sim_ivf_topk, so it pins against the "
+    "same oracle; amortized query-vs-one-shot numbers in SCALE.md.",
+)
+def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    # Build once per (process, sf_dir) — build-once/query-many IS the
+    # operator's semantic, so repeated calls (bench med3 re-runs)
+    # measure the amortized per-batch query cost, exactly the number
+    # the operator exists to improve; the one-shot cost is
+    # sim_ivf_topk's line. The index must outlive this call anyway
+    # (the returned DataFrame is evaluated by the harness afterwards),
+    # so it lives in a process-lifetime temp dir; /tmp reaps it. Real
+    # deployments pass a durable path and rebuild on corpus change.
+    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
+        ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
+        _IVF_INDEX_CACHE[sf_dir] = index_path
+    return ivf_query(
+        spark, index_path,
+        e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
+        "vec_id", "embedding", k=5, nprobe=1,
     )
 
 

@@ -21,7 +21,17 @@ Structured Streaming itself reports per batch
    Additionally reported: state-store rows and bytes over the run
    (final batch's stateOperators), i.e. does state stay bounded while
    data keeps arriving.
-3. **stateful** — the G8 custom per-key processor
+3. **dedup** — streaming exact dedup with bounded state
+   (``dropDuplicatesWithinWatermark`` via
+   ``streaming.windows.dedup_within_watermark``): at 100 TB
+   ingest-side dedup is the FIRST thing a corpus pipeline runs, and
+   its scale contract is the same watermark state bound as the
+   windowed case — dedup keys are held only inside the watermark
+   horizon, so state tracks the horizon, not the stream length.
+   ~25% of rows are duplicates planted within AND across adjacent
+   micro-batches (the cross-batch case is why state exists at all).
+   Reported: rows/s plus state rows/bytes at two volumes.
+4. **stateful** — the G8 custom per-key processor
    (running_totals_per_key: two scalars of keyed, checkpointed state
    per user; transformWithState when the runtime can execute it, the
    applyInPandasWithState fallback otherwise — this sandbox lacks
@@ -235,6 +245,67 @@ def bench_windowed(spark, tmp: str, n_rows: int) -> dict:
     return out
 
 
+def bench_dedup(spark, tmp: str, n_rows: int) -> dict:
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    src = os.path.join(tmp, "events")
+    os.makedirs(src)
+    per = n_rows // N_BATCHES
+    base = spark.createDataFrame([(i,) for i in range(per)], "i long")
+    for b in range(N_BATCHES):
+        # ~25% duplicates: every 4th row repeats the previous row's
+        # event_id; the batch's first row repeats the LAST id of the
+        # previous batch (cross-batch dup — the case the state exists
+        # for). Event time advances 10 min/batch under a 30-min
+        # watermark, so old dedup keys age out while the run
+        # progresses — state must track the horizon, not the volume.
+        prev_last = b * per - 2 if b else 0
+        (
+            base.select(
+                F.when(F.col("i") == 0, F.lit(prev_last))
+                .when(
+                    F.col("i") % 4 == 3,
+                    F.lit(b * per) + F.col("i") - 1,
+                )
+                .otherwise(F.lit(b * per) + F.col("i"))
+                .alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000 + b * 600) + (F.col("i") % 600)
+                ).alias("ts"),
+                (F.col("i") % 97 * 1.5).alias("amount"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"b{b:04d}"))
+        )
+    schema = "event_id long, ts timestamp, amount double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], ts_col="ts", watermark="30 minutes"
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").format("noop").save()
+
+    t0 = time.perf_counter()
+    q = _drain(
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+    )
+    wall = time.perf_counter() - t0
+    out = _progress_stats(q)
+    out["wall_sec"] = round(wall, 2)
+    return out
+
+
 def bench_stateful(spark, tmp: str, n_rows: int) -> dict:
     from etl_work_flow_for_big_data_spark.streaming.stateful import (
         running_totals_per_key,
@@ -294,7 +365,7 @@ def main() -> None:
     record: dict = {"metric": "streaming_sustained_ingest",
                     "n_batches": N_BATCHES, "pipelines": {}}
     for name, fn in (("mediation", bench_mediation), ("windowed", bench_windowed),
-                     ("stateful", bench_stateful)):
+                     ("dedup", bench_dedup), ("stateful", bench_stateful)):
         record["pipelines"][name] = {}
         for n in volumes:
             tmp = tempfile.mkdtemp(prefix=f"stream_bench_{name}_{n}_")

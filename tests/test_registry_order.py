@@ -9,76 +9,69 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 
 from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 
-# Round-10 changed set: pack_sequences' engine was refactored onto the
-# shared operators.transforms.pack_sequences window builder (plan
-# unchanged, but changed engine → hard check, rule over trust);
-# pack_sequences_bucketed is NEW — the coded per-lang serial-funnel
-# remedy (window key subdivided by a deterministic doc_id hash
-# bucket).
-CHANGED_R10 = [
-    "pack_sequences",
-    "pack_sequences_bucketed",  # NEW query this round
-    # ivf_topk grew the nprobe recall lever; the registered query runs
-    # the unchanged nprobe=1 branch, but the rule is the rule
+# Round-11 changed set: ivf_topk was refactored onto the shared
+# _ivf_scored_assign helper (plan unchanged, but changed engine → hard
+# check, rule over trust); sim_ivf_persisted is NEW — the
+# build-once/query-many inverted file (ivf_build + ivf_query), pinned
+# against the same oracle as the one-shot.
+CHANGED_R11 = [
+    "sim_ivf_persisted",  # NEW query this round
     "sim_ivf_topk",
-    "sim_ivf_nprobe",  # NEW query this round
-    # connected_components gained the stats rounds-counter out-param
-    # (semantics unchanged; instrumentation only — rule over trust)
-    "dedup_components",
-    "dedup_passages",  # NEW query this round
-    # oracle changed in r10 (drift-wave tie-consistency fix); also in
-    # STALE_R8 below — listed once there, named here for the audit
-    "window_session",
+    "sim_ivf_nprobe",
 ]
 
-# Round-10 rotation debt: queries whose last hard driver check was
-# round 8 (CORRECTNESS_r08 minus CORRECTNESS_r09 — exactly the 37 the
-# r9 rotation comment predicted).
-STALE_R8 = [
-    "parse_json",
-    "serialize_json",
-    "serialize_kv",
-    "filter_required",
-    "filter_bitmask",
-    "project_rename",
-    "cast_types",
-    "case_map",
-    "scalar_string_date",
-    "null_handling",
-    "join_asof",
-    "merge_upsert",
-    "subquery_exists",
-    "subquery_scalar",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "window_analytic",
-    "window_ntile",
-    "window_range_frame",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "tpch_q12_priority_by_tier",
-    "tpch_q14_promo_share",
-    "tpch_q18_large_orders",
-    "tpch_q22_idle_customers",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram",
-    "dedup_simhash",
-    "dedup_apply",
-    "llm_clean_corpus",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_chunk",
-    "text_editdist",
+# Round-11 rotation debt: queries whose last hard driver check was
+# round 9 (CORRECTNESS_r09 minus CORRECTNESS_r10 — exactly the 40 the
+# r10 rotation comment predicted, and the 40 VERDICT r10 next-round #1
+# prescribes).
+STALE_R9 = [
+    "agg_groupby",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_conditional",
+    "agg_stats",
+    "agg_pivot",
+    "agg_unpivot",
+    "join_broadcast",
+    "join_anti",
+    "join_left",
+    "join_semi",
+    "join_star",
+    "join_range",
+    "join_salted",
+    "window_rank",
+    "topk",
+    "sort_multi",
+    "set_union",
+    "sim_topk",
+    "sim_pairs",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "dedup_embedding",
+    "decontaminate",
+    "text_tokens",
+    "text_token_regex",
+    "text_scrub",
+    "text_repetition",
+    "sample_quota",
+    "split_assign",
+    "mix_weighted",
+    "route_assign",
+    "ts_gapfill",
+    "dq_validate",
+    "profile_columns",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
 ]
 
 
 def test_changed_queries_all_inside_the_50_slot_window():
     names = list(load_all())
     first_50 = set(names[:50])
-    must_check = CHANGED_R10 + STALE_R8
+    must_check = CHANGED_R11 + STALE_R9
     missing = [n for n in must_check if n not in first_50]
     assert not missing, f"must-check queries outside the driver window: {missing}"
 
