@@ -711,17 +711,24 @@ def ivf_query(
         q_clusters = probes.union(assigned).distinct()
     else:
         q_clusters = assigned
-    q = q_src.join(q_clusters, id_col).select(
+    # The probe set is driver-sized by contract (query batches are
+    # dim-table-sized, ≤ |queries| × (nprobe+1) rows), so it is
+    # collected ONCE and re-enters the final plan as a literal local
+    # relation: (a) the probe cluster ids become a static
+    # partition-pruning isin on the postings read — only probed
+    # directories are scanned; (b) the query-vs-centroid kernel pass
+    # runs exactly once (lazily re-joining q_clusters would re-execute
+    # it inside the final job).
+    pairs_rows = q_clusters.collect()
+    probe_ids = sorted({r["cluster"] for r in pairs_rows})
+    q_assign = spark.createDataFrame(
+        [(r[0], r[1]) for r in pairs_rows], q_clusters.schema
+    )
+    q = q_src.join(q_assign, id_col).select(
         F.col(id_col).alias("q_vec_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("cluster"),
     )
-    # driver-sized by contract (query batches are dim-table-sized):
-    # materializing the probe set turns the postings read into static
-    # partition pruning — only probed cluster directories are scanned
-    probe_ids = [
-        r["cluster"] for r in q.select("cluster").distinct().collect()
-    ]
     c = (
         spark.read.schema(_postings_schema(meta))
         .parquet(f"{index_path}/postings")
