@@ -265,32 +265,54 @@ def test_bignum_trial_parity(name, spark, bignum_trial):
 # ROW_NUMBER from the LAG pass into the cum-sum ORDER BY (a unique,
 # pass-consistent key). The pin replays the find's exact layout
 # (drift+dupstorm) over the whole registry.
-DRIFT_TRIALS = [(100002, {"dupstorm": True})]
+# Per-pin FROZEN target dicts: each pin replays its wave's exact
+# layout, and the drift draws continue the table rng in
+# tables-iteration order — extending the live DRIFT_TARGETS after a
+# pin (lineitem in r10, the dims+embeddings in r11) must not re-deal
+# an earlier pin's pathologies.
+_DRIFT_TARGETS_R10 = {
+    "documents": {"droppable": ["source", "n_chars"],
+                  "narrowable": ["doc_id"]},
+    "events": {"droppable": ["props", "value"],
+               "narrowable": ["event_id", "user_id"]},
+    "orders": {"droppable": ["o_orderpriority", "o_orderstatus"],
+               "narrowable": ["o_orderkey", "o_custkey"]},
+}
+# r11 extension wave (seeds 110001-110016, clean): customer/supplier/
+# part/embeddings joined the targets. Seed 110001 is pinned because it
+# composes drift with RAGGED — a drifted embeddings footer (INT32
+# vec_id from an old writer, label missing from one file) whose rows
+# carry wrong-width vectors, so the validity domain must hold across
+# the schema seam. Targets frozen as of r11.
+_DRIFT_TARGETS_R11 = dict(
+    _DRIFT_TARGETS_R10,
+    lineitem={"droppable": ["l_returnflag", "l_tax"],
+              "narrowable": ["l_orderkey", "l_suppkey"]},
+    customer={"droppable": ["c_mktsegment", "c_acctbal"],
+              "narrowable": ["c_custkey"]},
+    supplier={"droppable": ["s_acctbal"],
+              "narrowable": ["s_suppkey"]},
+    part={"droppable": ["p_type", "p_retailprice"],
+          "narrowable": ["p_partkey"]},
+    embeddings={"droppable": ["label"],
+                "narrowable": ["vec_id"]},
+)
+DRIFT_TRIALS = [
+    (100002, {"dupstorm": True}, _DRIFT_TARGETS_R10),
+    (110001, {"wide_ts": True, "null_heavy": True, "longtext": True,
+              "ragged": True}, _DRIFT_TARGETS_R11),
+]
 
 
 @pytest.fixture(
     scope="module",
     params=DRIFT_TRIALS,
-    ids=[f"seed{s}-drift" for s, _ in DRIFT_TRIALS],
+    ids=[f"seed{s}-drift" for s, _, _ in DRIFT_TRIALS],
 )
 def drift_trial(request, spark, tmp_path_factory):
     from fuzz_parity import write_drifted
 
-    # FROZEN r10 target set: the pin replays seed 100002's exact
-    # layout, and the drift draws continue the table rng in
-    # tables-iteration order — extending the live DRIFT_TARGETS
-    # (lineitem joined in r10 after the pin) must not re-deal this
-    # trial's pathologies.
-    DRIFT_TARGETS = {
-        "documents": {"droppable": ["source", "n_chars"],
-                      "narrowable": ["doc_id"]},
-        "events": {"droppable": ["props", "value"],
-                   "narrowable": ["event_id", "user_id"]},
-        "orders": {"droppable": ["o_orderpriority", "o_orderstatus"],
-                   "narrowable": ["o_orderkey", "o_custkey"]},
-    }
-
-    seed, modes = request.param
+    seed, modes, DRIFT_TARGETS = request.param
     tmp = str(tmp_path_factory.mktemp(f"drift_{seed}"))
     rng = random.Random(seed)
     tables = gen_tables(rng, **modes)
