@@ -589,6 +589,12 @@ EXCHANGE_BUDGET = {
     # sim_ivf_topk's 3 plus the probe-set union/distinct exchange
     # (query-side only; the corpus-side index path is unchanged)
     "sim_ivf_nprobe": 4,
+    # the SERVE plan (build is a separate write job): 3 broadcast
+    # exchanges (query⋈probe-literal, then the query side into the
+    # pruned postings scan) + the top-k window's single hash
+    # partition — the kernel probe pass is collected pre-plan, so
+    # the final job has NO mapInPandas and ONE shuffle
+    "sim_ivf_persisted": 4,
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,
