@@ -255,9 +255,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_ivf_nprobe",
-    f"""
+#: shared by sim_ivf_nprobe (one-shot) and sim_ivf_persisted_nprobe
+#: (build+query): same rationale as _IVF_TOPK_ORACLE — the persisted
+#: form's contract IS one-shot equivalence.
+_IVF_NPROBE_ORACLE = f"""
     WITH {_DUCK_VALID_EMB},
     cent AS (SELECT vec_id AS cid, embedding AS cvec FROM v WHERE vec_id < 16),
     a AS (
@@ -293,7 +294,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM q JOIN asg c ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
     QUALIFY rank <= 5
     ORDER BY q_vec_id, rank
-    """,
+    """
+
+
+@query(
+    "sim_ivf_nprobe",
+    _IVF_NPROBE_ORACLE,
     doc="I3 IVF ANN with nprobe=2 (r10): each query searches its TWO "
     "nearest clusters — the standard recall lever for the "
     "cross-cluster-boundary miss, fanning out only the query side "
@@ -359,6 +365,41 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
         "vec_id", "embedding", k=5, nprobe=1,
+    )
+
+
+@query(
+    "sim_ivf_persisted_nprobe",
+    _IVF_NPROBE_ORACLE,
+    doc="I3 persisted IVF at nprobe=2 (r11): the multi-probe branch of "
+    "ivf_query (top-2 centroid clusters per query UNION the assigned "
+    "cluster, still only the probed directories scanned) against the "
+    "same cached index as sim_ivf_persisted — pinned against "
+    "sim_ivf_nprobe's oracle verbatim, so the one-shot-equivalence "
+    "contract holds on BOTH probe branches under the driver's hash "
+    "check, not just the local parity pin.",
+)
+def sim_ivf_persisted_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
+        ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
+        _IVF_INDEX_CACHE[sf_dir] = index_path
+    return ivf_query(
+        spark, index_path,
+        e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
+        "vec_id", "embedding", k=5, nprobe=2,
     )
 
 

@@ -595,6 +595,9 @@ EXCHANGE_BUDGET = {
     # partition — the kernel probe pass is collected pre-plan, so
     # the final job has NO mapInPandas and ONE shuffle
     "sim_ivf_persisted": 4,
+    # identical serve plan — the wider probe set is still a collected
+    # literal, only the isin/partition-filter list grows
+    "sim_ivf_persisted_nprobe": 4,
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,
