@@ -113,3 +113,40 @@ def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column
         ), 1)
         """
     )
+
+
+def quantize_embedding(a: Column) -> Column:
+    """Symmetric int8 quantization of a float embedding — the 100-TB
+    storage/bandwidth lever for ANN: an int8 posting list scans ~4×
+    less than float32 (and ~8× less than float64), and COSINE IS
+    SCALE-INVARIANT, so ranking on the quantized vectors needs no
+    dequantization at all (per-vector scale = max|x|/127 cancels out
+    of dot/√(n·n)).
+
+    Returns ``struct(scale double, q array<int>)`` where
+    ``q_i = round((x_i · 127) / max|x|)`` — by construction
+    |q_i| ≤ 127, so no clamp branch exists to diverge. The arithmetic
+    order is FIXED ((x·127)/mx, not x/(mx/127)) because the two
+    associations differ in floating point and the oracle must mirror
+    bit-for-bit. Rounding: Spark's ROUND on double is BigDecimal
+    HALF_UP (= half away from zero) on the exact binary value;
+    DuckDB's round() on double is the same half-away-from-zero —
+    fuzz-swept, not assumed. Domain: callers filter with
+    :func:`is_valid_embedding` first (a zero vector has no scale).
+
+    DuckDB mirror::
+
+        SELECT list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE))))
+                 / 127.0                                        AS scale,
+               list_transform(v, x -> CAST(round(
+                 (CAST(x AS DOUBLE) * 127.0) /
+                 list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE))))
+               ) AS INT))                                       AS q
+    """
+    mx = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        a, lambda x: F.round((x.cast("double") * F.lit(127.0)) / mx).cast("int")
+    )
+    return F.struct(
+        (mx / F.lit(127.0)).alias("scale"), q.alias("q")
+    )

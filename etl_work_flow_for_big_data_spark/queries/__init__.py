@@ -88,7 +88,8 @@ def _tuned(fn):
 # CLOSING AUDIT (r11, per the process rule): the round diff
 # (76e72e1..HEAD) touches engine/oracle surfaces via (a) the NEW
 # sim_ivf_persisted / sim_ivf_persisted_nprobe queries
-# (operators.similarity.ivf_build/ivf_query — front slots); (b) operators.similarity.ivf_topk (refactored onto the
+# (operators.similarity.ivf_build/ivf_query — front slots) and the
+# NEW sim_topk_quantized (functions.vectors.quantize_embedding); (b) operators.similarity.ivf_topk (refactored onto the
 # shared _ivf_assign helper; sim_ivf_topk / sim_ivf_nprobe consume it
 # — front slots, rule over trust); (c) catalog._drifted_schema
 # (os.walk recursion + hive bail + conversion-failure fallback) —
@@ -102,6 +103,7 @@ _CHECK_PRIORITY = [
     # -- engine changed / NEW in round 11 (see closing audit above)
     "sim_ivf_persisted",  # NEW in round 11 (I3 build-once/query-many)
     "sim_ivf_persisted_nprobe",  # NEW in round 11 (multi-probe branch)
+    "sim_topk_quantized",  # NEW in round 11 (int8 scan-bandwidth lever)
     "sim_ivf_topk",  # engine refactor (shared _ivf_assign)
     "sim_ivf_nprobe",  # engine refactor (shared _ivf_assign)
     # -- rotation debt: last hard driver check round 9

@@ -159,6 +159,60 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_QUANT = """
+    qv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(
+               (CAST(x AS DOUBLE) * 127.0) /
+               list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+             ) AS INT)) AS q
+      FROM v)
+"""
+
+
+@query(
+    "sim_topk_quantized",
+    f"""
+    WITH {_DUCK_VALID_EMB},
+    {_DUCK_QUANT}
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.q', 'c.q')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                       AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.q', 'c.q')}, 6)                   AS cos_sim
+    FROM (SELECT * FROM qv WHERE vec_id < 5) q
+    JOIN qv c ON q.vec_id <> c.vec_id
+    QUALIFY rank <= 10
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 top-k cosine over INT8-QUANTIZED embeddings (r11): the "
+    "100-TB scan-bandwidth lever — symmetric per-vector int8 "
+    "(q_i = round(x_i*127/max|x|)), and cosine is scale-invariant so "
+    "ranking runs directly on the int arrays, no dequantization. "
+    "Quantization arithmetic order and rounding rule are mirrored "
+    "bit-for-bit in the oracle (functions.vectors.quantize_embedding "
+    "docstring); ties from the coarser values break on vec_id as "
+    "everywhere. Storage/recall trade measured in SCALE.md.",
+)
+def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.functions.vectors import (
+        is_valid_embedding,
+        quantize_embedding,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    qz = e.select(
+        "vec_id", quantize_embedding(F.col("embedding"))["q"].alias("q")
+    )
+    return topk_cosine(
+        qz.filter(F.col("vec_id") < 5), qz, "vec_id", "q", k=10
+    )
+
+
 _DUCK_SIG = """
 list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
   list_reduce(list_transform(range(1, 65),

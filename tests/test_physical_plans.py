@@ -579,6 +579,9 @@ EXCHANGE_BUDGET = {
     "window_ntile": 3,
     "window_range_frame": 1,
     "sim_topk": 1,
+    # same mapInPandas-scan + single window exchange as sim_topk; the
+    # quantization is a narrow per-row expression inside the scan
+    "sim_topk_quantized": 1,
     "sim_pairs": 2,
     # pair grid (2) + the drop-set distinct (1) + the anti-join's
     # exchange (1); the drop set is near-dup-count-sized, so at scale

@@ -17,6 +17,7 @@ from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
 CHANGED_R11 = [
     "sim_ivf_persisted",  # NEW query this round
     "sim_ivf_persisted_nprobe",  # NEW query this round
+    "sim_topk_quantized",  # NEW query this round
     "sim_ivf_topk",
     "sim_ivf_nprobe",
 ]
