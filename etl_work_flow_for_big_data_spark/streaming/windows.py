@@ -88,3 +88,48 @@ def dedup_within_watermark(
     within the watermark horizon are dropped; state expires with the
     watermark (G2-adjacent exactly-once semantics at the record level)."""
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def near_dedup_within_watermark(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup ingest gate: per-document 16-bit SimHash
+    fingerprint (order-independent over distinct tokens — token
+    shuffles, repeats, and whitespace runs all collapse to the same
+    value) keyed into ``dropDuplicatesWithinWatermark``. The first
+    document carrying a fingerprint inside the watermark horizon
+    survives; later near-dups are dropped at ingest, BEFORE the corpus
+    pipeline pays parse/quality/storage for them.
+
+    Scale contract: state is one row per DISTINCT fingerprint inside
+    the horizon (bounded by watermark × ingest rate, invariant in
+    stream length — the measured dedup-pipeline contract in
+    BENCH_STREAM.json), and the fingerprint is a constant-size int, so
+    state bytes don't scale with document length. Matching is
+    exact-bucket (Hamming-0), the same trade the batch `dedup_simhash`
+    query makes; Hamming-1 tolerance would multiply state ×17 (one
+    probe per flipped bit) — at ingest, exact-bucket catches the
+    dominant boilerplate/re-crawl duplicates and the batch LSH passes
+    sweep the rest downstream.
+
+    Uses the same expression as the batch operator
+    (``functions.text.simhash16_expr`` via
+    ``operators.dedup.simhash_fingerprints``), so a document dropped
+    here is exactly one the batch path would have paired."""
+    toks_sql = (
+        f"array_distinct(filter(split({text_col}, ' '), "
+        f"__t -> length(__t) > 0))"
+    )
+    from etl_work_flow_for_big_data_spark.functions.text import simhash16_expr
+
+    return (
+        df.withColumn(
+            "__simhash", F.expr(simhash16_expr(toks_sql)).cast("int")
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__simhash"])
+        .drop("__simhash")
+    )

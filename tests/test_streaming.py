@@ -114,6 +114,70 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2, 3, 4]
 
 
+def test_near_dedup_within_watermark(spark, tmp_path):
+    """Streaming near-dup ingest gate: token-shuffled rewrites of the
+    same document collapse to one survivor (SimHash is
+    order-independent over distinct tokens), distinct documents pass,
+    and cross-batch near-dups within the watermark are dropped too."""
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    indir = tmp_path / "docs_in"
+    docs = [
+        {"doc_id": 1, "ts": "2024-01-01 00:05:00",
+         "text": "the quick brown fox jumps"},
+        # token-shuffled + repeated-token rewrite of doc 1 → same
+        # distinct-token set → same fingerprint → dropped
+        {"doc_id": 2, "ts": "2024-01-01 00:06:00",
+         "text": "fox jumps the the quick brown"},
+        {"doc_id": 3, "ts": "2024-01-01 00:07:00",
+         "text": "entirely different content here"},
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    indir.mkdir(parents=True, exist_ok=True)
+    with open(indir / "b0.json", "w") as f:
+        for r in docs:
+            f.write(json.dumps(r) + "\n")
+    stream = SOURCES.read_stream(spark, "json", str(indir), schema)
+    gate = near_dedup_within_watermark(stream, "text", watermark="1 hour")
+
+    outdir = tmp_path / "out"
+
+    def run_once():
+        # parquet sink + checkpoint (memory sink cannot recover from a
+        # checkpoint, and the cross-batch assertion below NEEDS the
+        # dedup state to survive the restart)
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(outdir))
+
+        q = (
+            gate.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(str(outdir)).collect()
+        )
+
+    assert run_once() == [1, 3]
+    # fingerprint column is internal — the output schema is the input's
+    assert [f.name for f in gate.schema.fields] == ["doc_id", "ts", "text"]
+    # next batch: another rewrite of doc 1 (cross-batch, inside the
+    # watermark horizon) is dropped; a new document passes
+    with open(indir / "b1.json", "w") as f:
+        f.write(json.dumps(
+            {"doc_id": 4, "ts": "2024-01-01 00:20:00",
+             "text": "brown fox quick the jumps"}) + "\n")
+        f.write(json.dumps(
+            {"doc_id": 5, "ts": "2024-01-01 00:21:00",
+             "text": "yet another unrelated document"}) + "\n")
+    assert run_once() == [1, 3, 5]
+
+
 @pytest.fixture
 def manager(spark, tmp_path):
     indir = tmp_path / "ctrl_in"
