@@ -558,3 +558,58 @@ class TestIvfNprobe:
         assert [(r["q_vec_id"], r["rank"], r["c_vec_id"]) for r in out] == [
             (10, 1, 20)
         ]
+
+
+def test_quantize_embedding_contract(spark):
+    """Int8 quantization invariants: |q| ≤ 127 with the max-magnitude
+    component hitting exactly ±127, scale reconstructs magnitudes to
+    within half a step, and cosine on q matches cosine on the floats
+    to quantization error (scale cancellation — the property that lets
+    ANN rank without dequantizing)."""
+    import math
+
+    from etl_work_flow_for_big_data_spark.functions.vectors import (
+        cosine,
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.51, -0.98, 0.26, 0.01]),   # near-dup of 1
+            (3, [-0.1, 0.0, 2.0, -2.0]),      # tie at max magnitude
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            "embedding",
+            quantize_embedding(F.col("embedding")).alias("qz"),
+        ).collect()
+    }
+    for r in rows.values():
+        q, scale = r["qz"]["q"], r["qz"]["scale"]
+        assert max(abs(x) for x in q) == 127
+        assert all(abs(x) <= 127 for x in q)
+        # dequantized components reconstruct within half a step
+        for orig, qi in zip(r["embedding"], q):
+            assert abs(qi * scale - orig) <= scale / 2 + 1e-12
+    # scale-invariance: cosine(q1, q2) ≈ cosine(v1, v2)
+    got = (
+        df.alias("a").join(df.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cf"),
+            cosine(
+                quantize_embedding(F.col("a.embedding"))["q"],
+                quantize_embedding(F.col("b.embedding"))["q"],
+            ).alias("cq"),
+        )
+        .collect()
+    )
+    assert len(got) == 3
+    for r in got:
+        assert math.isfinite(r["cq"]) and abs(r["cq"] - r["cf"]) < 0.01, r
