@@ -167,6 +167,32 @@ def test_empty_corpus_builds_and_queries_empty(spark, tmp_path):
     assert out2.count() == 0
 
 
+def test_quantized_index_composes(spark, emb, tmp_path):
+    """The 100-TB composition: int8-quantize at write, build the
+    inverted file over the quantized column, serve batches from it —
+    postings carry 4x fewer bytes and build+query still ≡ the one-shot
+    operator on the same quantized frame (vec_col generality)."""
+    from etl_work_flow_for_big_data_spark.functions.vectors import (
+        quantize_embedding,
+    )
+
+    qz = emb.select(
+        "vec_id", quantize_embedding(F.col("embedding"))["q"].alias("q")
+    )
+    p = str(tmp_path / "index")
+    ivf_build(qz, "vec_id", "q", p, n_centroids=16)
+    got = _rows(
+        ivf_query(
+            spark, p, qz.filter(F.col("vec_id").isin(QUERY_IDS)),
+            "vec_id", "q", k=5,
+        )
+    )
+    want = _rows(
+        ivf_topk(qz, QUERY_IDS, "vec_id", "q", n_centroids=16, k=5)
+    )
+    assert got == want and len(got) > 0
+
+
 def test_nprobe_validates(spark, emb, index_path):
     with pytest.raises(ValueError, match="nprobe"):
         ivf_query(spark, index_path, emb.limit(1), "vec_id", "embedding",
