@@ -89,13 +89,20 @@ def _tuned(fn):
 # (76e72e1..HEAD) touches engine/oracle surfaces via (a) the NEW
 # sim_ivf_persisted / sim_ivf_persisted_nprobe queries
 # (operators.similarity.ivf_build/ivf_query — front slots) and the
-# NEW sim_topk_quantized (functions.vectors.quantize_embedding); (b) operators.similarity.ivf_topk (refactored onto the
-# shared _ivf_assign helper; sim_ivf_topk / sim_ivf_nprobe consume it
-# — front slots, rule over trust); (c) catalog._drifted_schema
-# (os.walk recursion + hive bail + conversion-failure fallback) —
-# inert on the driver's single-file fixtures, covered by
+# NEW sim_topk_quantized (functions.vectors.quantize_embedding —
+# front slot); (b) operators.similarity.ivf_topk (refactored onto
+# the shared _ivf_scored_assign helper; sim_ivf_topk /
+# sim_ivf_nprobe consume it — front slots, rule over trust), plus
+# the oracle-side extraction of _IVF_TOPK_ORACLE/_IVF_NPROBE_ORACLE
+# into shared constants (SQL text byte-identical; those queries hold
+# front slots anyway); (c) catalog._drifted_schema (os.walk
+# recursion + hive bail + conversion-failure fallback) — inert on
+# the driver's single-file fixtures, covered by
 # tests/test_catalog_drift.py + the drift fuzz pins; (d) bench.py /
-# scripts/stream_bench.py (measurement harnesses, no query semantics).
+# scripts/stream_bench.py / scripts/ivf_amortize.py (measurement
+# harnesses, no query semantics); (e)
+# streaming.windows.near_dedup_within_watermark (NEW streaming
+# surface — pytest-only by nature, no batch oracle).
 # kmeans_refine gained property pins but no code change. All
 # changed/new names sit inside the first 50 (test_registry_order
 # enforces this).
