@@ -119,6 +119,14 @@ def near_dedup_within_watermark(
     (``functions.text.simhash16_expr`` via
     ``operators.dedup.simhash_fingerprints``), so a document dropped
     here is exactly one the batch path would have paired."""
+    if "__simhash" in df.columns:
+        # same contract as salted_join's __salt: the working column is
+        # internal, and silently overwriting a caller's column of the
+        # same name would both corrupt their data and dedup on the
+        # wrong key
+        raise ValueError(
+            "input already has a __simhash column; rename it first"
+        )
     toks_sql = (
         f"array_distinct(filter(split({text_col}, ' '), "
         f"__t -> length(__t) > 0))"

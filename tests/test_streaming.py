@@ -551,3 +551,15 @@ def test_watermark_drops_too_late_events_in_append_mode(spark, tmp_path):
         "2024-01-01 11:00:00": (1, 2.0),
         # the 12:00 window is still open (wm 11:50) -> not appended
     }
+
+
+def test_near_dedup_rejects_simhash_column_collision(spark):
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x")], "doc_id long, __simhash string"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="__simhash"):
+        near_dedup_within_watermark(df, "text")
