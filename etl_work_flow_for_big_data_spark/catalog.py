@@ -128,12 +128,18 @@ def _drifted_schema(path: str):
         # the production answer for partitioned lakes.)
         files: list[str] = []
         for root, dirs, names in os.walk(path):
+            # prune hidden/metadata subtrees BEFORE the hive-layout
+            # test (r11 advice): a key=value path nested inside e.g.
+            # _delta_log is metadata, not a partitioned table, and must
+            # not abort drift resolution for the whole directory —
+            # in-place pruning also stops os.walk descending them at all
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             parts = [p for p in os.path.relpath(root, path).split(os.sep)
                      if p and p != "."]
-            if any("=" in p for p in parts):
-                return None
             if any(p.startswith(("_", ".")) for p in parts):
                 continue
+            if any("=" in p for p in parts):
+                return None
             files.extend(
                 os.path.join(root, f)
                 for f in names

@@ -133,6 +133,12 @@ def quantize_embedding(a: Column) -> Column:
     DuckDB's round() on double is the same half-away-from-zero —
     fuzz-swept, not assumed. Domain: callers filter with
     :func:`is_valid_embedding` first (a zero vector has no scale).
+    TOTAL anyway (r11 advice, the module's try_divide convention): an
+    out-of-domain row — zero vector, NaN or ±inf component — yields a
+    NULL struct instead of an ANSI divide/cast error killing the task;
+    in-domain arithmetic is byte-identical to before (the validity
+    test gates the same `/` and ANSI cast, so valid rows take the
+    exact same expression path the oracle mirrors).
 
     DuckDB mirror::
 
@@ -147,6 +153,11 @@ def quantize_embedding(a: Column) -> Column:
     q = F.transform(
         a, lambda x: F.round((x.cast("double") * F.lit(127.0)) / mx).cast("int")
     )
-    return F.struct(
-        (mx / F.lit(127.0)).alias("scale"), q.alias("q")
+    # mx > 0 excludes the zero vector; a NaN component makes mx NaN
+    # (NaN is greatest in Spark's double ordering) and an inf component
+    # makes mx inf — both fail the finite test, so inside the valid
+    # branch every |q_i| <= 127 and the ANSI cast cannot throw
+    valid = (mx > 0) & ~F.isnan(mx) & (mx < F.lit(float("inf")))
+    return F.when(
+        valid, F.struct((mx / F.lit(127.0)).alias("scale"), q.alias("q"))
     )

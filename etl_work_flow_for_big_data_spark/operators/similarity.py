@@ -671,7 +671,15 @@ def ivf_query(
     plus the top-``nprobe`` centroid clusters when ``nprobe > 1``.
     Out-of-corpus query vectors work too (their "assigned" cluster is
     simply the nearest centroid) — that case has no one-shot
-    equivalent, so the parity pin covers in-corpus ids.
+    equivalent, so the parity pin covers in-corpus ids. The
+    owns-itself override keys on MEMBERSHIP in the persisted centroid
+    id set, not ``id < n_centroids`` (r11 advice): an out-of-corpus
+    query whose id merely falls below n_centroids must assign by its
+    VECTOR, never be forced to a cluster its id happens to name. Id
+    collision remains the one contract the caller owns — ids are the
+    join identity throughout (here and in the self-pair exclusion),
+    so a query batch must not reuse an in-corpus id for a different
+    vector.
     Returns (q_vec_id, rank, c_vec_id, cos_sim) like ``ivf_topk``.
     """
     if nprobe < 1:
@@ -695,11 +703,18 @@ def ivf_query(
         # the build's centroid-owns-itself convention (see
         # _ivf_scored_assign) — recomputed, not joined from postings,
         # so out-of-corpus queries assign uniformly; for in-corpus ids
-        # the deterministic ranking makes both routes identical
+        # the deterministic ranking makes both routes identical. Keyed
+        # on the PERSISTED centroid id set: at build time the centroids
+        # are exactly the corpus rows with id < n_centroids, so for a
+        # sparse-id corpus (or one smaller than n_centroids) an
+        # out-of-corpus query id below n_centroids is NOT a centroid
+        # and must keep its vector-nearest assignment.
+        cids = [int(cid) for cid, _ in centroids]
         assigned = assigned.withColumn(
             "cluster",
             F.when(
-                F.col(id_col) < meta["n_centroids"], F.col(id_col)
+                F.col(id_col).isin(cids) if cids else F.lit(False),
+                F.col(id_col),
             ).otherwise(F.col("cluster")),
         )
     if nprobe > 1:

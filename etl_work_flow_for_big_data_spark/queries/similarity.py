@@ -375,7 +375,35 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_INDEX_CACHE: dict[str, str] = {}
+_IVF_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cache key for the persisted-IVF index: (sf_dir, mtime+size of
+    every file under the embeddings table). Keying on sf_dir alone
+    served a STALE index when an in-process fixture regenerated the
+    table at the same path (r11 advice) — the fingerprint changes with
+    any rewrite, so regeneration transparently triggers a rebuild. A
+    filesystem stat walk, no data scan; local paths only (the oracled
+    queries read the local test fixture — a durable-index deployment
+    manages rebuilds explicitly, see the sim_ivf_persisted docstring)."""
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    sig: list[tuple] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        sig.append((root, st.st_mtime_ns, st.st_size))
+    elif os.path.isdir(root):
+        for dirpath, _dirs, names in sorted(os.walk(root)):
+            for n in sorted(names):
+                p = os.path.join(dirpath, n)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                sig.append((p, st.st_mtime_ns, st.st_size))
+    return (sf_dir, tuple(sig))
 
 
 @query(
@@ -402,19 +430,23 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         is_valid_embedding(F.col("embedding"), dim=64)
     )
-    # Build once per (process, sf_dir) — build-once/query-many IS the
-    # operator's semantic, so repeated calls (bench med3 re-runs)
-    # measure the amortized per-batch query cost, exactly the number
-    # the operator exists to improve; the one-shot cost is
+    # Build once per (process, table fingerprint) — build-once/
+    # query-many IS the operator's semantic, so repeated calls (bench
+    # med3 re-runs) measure the amortized per-batch query cost, exactly
+    # the number the operator exists to improve; the one-shot cost is
     # sim_ivf_topk's line. The index must outlive this call anyway
     # (the returned DataFrame is evaluated by the harness afterwards),
     # so it lives in a process-lifetime temp dir; /tmp reaps it. Real
     # deployments pass a durable path and rebuild on corpus change.
-    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    # Keyed by _embeddings_fingerprint, not sf_dir alone (r11 advice):
+    # a fixture regenerating the table at the same path must rebuild,
+    # not silently serve the stale index.
+    key = _embeddings_fingerprint(sf_dir)
+    index_path = _IVF_INDEX_CACHE.get(key)
     if index_path is None:
         index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
         ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
-        _IVF_INDEX_CACHE[sf_dir] = index_path
+        _IVF_INDEX_CACHE[key] = index_path
     return ivf_query(
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
@@ -445,11 +477,12 @@ def sim_ivf_persisted_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(
         is_valid_embedding(F.col("embedding"), dim=64)
     )
-    index_path = _IVF_INDEX_CACHE.get(sf_dir)
+    key = _embeddings_fingerprint(sf_dir)
+    index_path = _IVF_INDEX_CACHE.get(key)
     if index_path is None:
         index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
         ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
-        _IVF_INDEX_CACHE[sf_dir] = index_path
+        _IVF_INDEX_CACHE[key] = index_path
     return ivf_query(
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),

@@ -261,7 +261,15 @@ def bench_dedup(spark, tmp: str, n_rows: int) -> dict:
         # for). Event time advances 10 min/batch under a 30-min
         # watermark, so old dedup keys age out while the run
         # progresses — state must track the horizon, not the volume.
-        prev_last = b * per - 2 if b else 0
+        # The previous batch's last row is i = per-1 under the SAME
+        # when/otherwise rule below (r11 advice — the old constant
+        # `b*per - 2` was only its id when per % 4 == 0): repeated id
+        # when (per-1) % 4 == 3, own id otherwise.
+        prev_last = (
+            ((b - 1) * per + (per - 2 if (per - 1) % 4 == 3 else per - 1))
+            if b
+            else 0
+        )
         (
             base.select(
                 F.when(F.col("i") == 0, F.lit(prev_last))

@@ -196,3 +196,33 @@ def test_drifted_schema_is_deterministic_not_file_order_dependent(tmp_path):
             "id": "bigint",
             "x": "string",
         }
+
+
+def test_hive_layout_inside_metadata_dir_is_ignored(tmp_path):
+    """A `key=value` path nested INSIDE a hidden/metadata dir (e.g.
+    _delta_log checkpoint layouts) is metadata, not a partitioned
+    table — it must not abort drift resolution for the whole directory
+    (r11 ADVICE: the hidden-prefix prune now runs before the hive
+    test, and os.walk no longer descends hidden subtrees at all)."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "x": pa.array(["a"])}),
+        str(d / "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int32())}),
+        str(d / "part-001.parquet"),
+    )
+    meta = d / "_delta_log" / "part=0"
+    meta.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"poison": pa.array([0], pa.int64())}),
+        str(meta / "part-000.parquet"),
+    )
+    s = _drifted_schema(str(d))
+    assert s is not None
+    assert {f.name: f.dataType.simpleString() for f in s.fields} == {
+        "id": "bigint",
+        "x": "string",
+    }

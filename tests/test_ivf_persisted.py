@@ -197,3 +197,77 @@ def test_nprobe_validates(spark, emb, index_path):
     with pytest.raises(ValueError, match="nprobe"):
         ivf_query(spark, index_path, emb.limit(1), "vec_id", "embedding",
                   nprobe=0)
+
+
+def test_out_of_corpus_low_id_assigns_by_vector(spark, tmp_path):
+    """r11 ADVICE (medium): the iters=0 centroid-owns-itself override
+    must key on MEMBERSHIP in the persisted centroid id set, not
+    `id < n_centroids` — an out-of-corpus query whose fresh id merely
+    falls below n_centroids assigns by its VECTOR. Sparse corpus: ids
+    {0,1,50..53} under n_centroids=4 make the centroid set {0,1};
+    query id 3 (< 4, NOT a centroid) must reach cluster 1's posting
+    list, not be forced to the nonexistent cluster 3 (which silently
+    returned 0 rows before the fix)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (50, [0.95, 0.1, 0.0, 0.0]),
+        (51, [0.9, 0.2, 0.0, 0.0]),
+        (52, [0.1, 0.95, 0.0, 0.0]),
+        (53, [0.2, 0.9, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "index")
+    ivf_build(corpus, "vec_id", "embedding", p, n_centroids=4)
+    q = spark.createDataFrame(
+        [(3, [0.05, 1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = ivf_query(spark, p, q, "vec_id", "embedding", k=3).collect()
+    assert {r["c_vec_id"] for r in out} == {1, 52, 53}
+
+
+def test_persisted_query_cache_invalidates_on_table_rewrite(spark, tmp_path):
+    """r11 ADVICE: the registered sim_ivf_persisted query caches the
+    built index per table FINGERPRINT (mtime+size walk), not per
+    sf_dir — regenerating the embeddings table at the same path must
+    rebuild and serve the NEW corpus, not the stale index."""
+    import random
+
+    from etl_work_flow_for_big_data_spark.queries.similarity import (
+        _embeddings_fingerprint,
+        sim_ivf_persisted,
+    )
+
+    sf_dir = str(tmp_path)
+
+    def write_table(seed: int) -> None:
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+        ]
+        (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sf_dir}/embeddings.parquet")
+        )
+
+    write_table(1)
+    fp1 = _embeddings_fingerprint(sf_dir)
+    first = _rows(sim_ivf_persisted(spark, sf_dir))
+    write_table(2)
+    fp2 = _embeddings_fingerprint(sf_dir)
+    assert fp1 != fp2
+    got = _rows(sim_ivf_persisted(spark, sf_dir))
+    # the rebuilt index serves the NEW corpus: identical to the
+    # one-shot operator over the rewritten table (the stale index
+    # would replay seed-1 neighbors/cosines)
+    from etl_work_flow_for_big_data_spark.catalog import load_table
+
+    want = _rows(
+        ivf_topk(
+            load_table(spark, sf_dir, "embeddings"),
+            QUERY_IDS, "vec_id", "embedding", n_centroids=16, k=5,
+        )
+    )
+    assert got == want and got != first

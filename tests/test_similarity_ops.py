@@ -613,3 +613,37 @@ def test_quantize_embedding_contract(spark):
     assert len(got) == 3
     for r in got:
         assert math.isfinite(r["cq"]) and abs(r["cq"] - r["cf"]) < 0.01, r
+
+
+def test_quantize_embedding_is_total(spark):
+    """r11 ADVICE: out-of-domain rows — zero vector, NaN or inf
+    component, NULL array — yield a NULL struct instead of an ANSI
+    divide/cast error killing the task (the module's totality
+    convention, matching cosine's try_divide fix); valid rows take the
+    byte-identical arithmetic path as before."""
+    from etl_work_flow_for_big_data_spark.functions.vectors import (
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0]),
+            (2, [0.0, 0.0]),
+            (3, [float("nan"), 1.0]),
+            (4, [float("inf"), 1.0]),
+            (5, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r["qz"]
+        for r in df.select(
+            "vec_id", quantize_embedding(F.col("embedding")).alias("qz")
+        ).collect()
+    }
+    # valid row: mx=1.0 → q = [round(63.5), -127] = [64, -127] (HALF_UP)
+    assert rows[1] is not None
+    assert list(rows[1]["q"]) == [64, -127]
+    assert abs(rows[1]["scale"] - 1.0 / 127.0) < 1e-15
+    for bad in (2, 3, 4, 5):
+        assert rows[bad] is None, bad
