@@ -73,87 +73,83 @@ def _tuned(fn):
 # any query whose engine OR oracle side changed after the list was
 # drafted moves to the front before the round closes.
 #
-# Round-11 rotation (steady state): leads with the round's
-# changed/new queries, then the exact 40-query rotation debt the r10
-# comment predicted: every query whose last hard driver check was
-# round 9 (CORRECTNESS_r09 minus CORRECTNESS_r10, recomputed this
-# round — and identical to the 40 names VERDICT r10 next-round #1
-# prescribes). Named slots stay ≤50 so every listed query receives a
-# driver check; the round's NEW/CHANGED queries occupy the front.
-# Every deferred query is still oracle-checked at sf0.001 by
-# tests/test_oracle_parity.py and swept on adversarial + fuzz fixtures
-# every round. NEW/CHANGED queries must be added to the front to
-# receive a slot.
+# Round-12 rotation (steady state): leads with the round's
+# changed/new queries, then the exact 43-query rotation debt VERDICT
+# r11 next-round #2 prescribes: every query whose last hard driver
+# check was round 10 (CORRECTNESS_r10 minus CORRECTNESS_r11,
+# recomputed this round — identical set). Named slots stay ≤50 so
+# every listed query receives a driver check; the round's NEW/CHANGED
+# queries occupy the front. Every deferred query is still
+# oracle-checked at sf0.001 by tests/test_oracle_parity.py and swept
+# on adversarial + fuzz fixtures every round. NEW/CHANGED queries
+# must be added to the front to receive a slot.
 #
-# CLOSING AUDIT (r11, per the process rule): the round diff
-# (76e72e1..HEAD) touches engine/oracle surfaces via (a) the NEW
-# sim_ivf_persisted / sim_ivf_persisted_nprobe queries
-# (operators.similarity.ivf_build/ivf_query — front slots) and the
-# NEW sim_topk_quantized (functions.vectors.quantize_embedding —
-# front slot); (b) operators.similarity.ivf_topk (refactored onto
-# the shared _ivf_scored_assign helper; sim_ivf_topk /
-# sim_ivf_nprobe consume it — front slots, rule over trust), plus
-# the oracle-side extraction of _IVF_TOPK_ORACLE/_IVF_NPROBE_ORACLE
-# into shared constants (SQL text byte-identical; those queries hold
-# front slots anyway); (c) catalog._drifted_schema (os.walk
-# recursion + hive bail + conversion-failure fallback) — inert on
+# CLOSING AUDIT (r12, per the process rule): the round diff
+# (d79542a..HEAD) touches engine/oracle surfaces via (a) the NEW
+# sim_ivf_trained query (trained-centroid persisted IVF served at
+# probe-ALL — front slot); (b) functions.vectors.quantize_embedding
+# (totality guard; sim_topk_quantized consumes it — front slot);
+# (c) operators.similarity.ivf_query (centroid-membership override
+# fix) + the fingerprint-keyed index cache in queries/similarity.py
+# (sim_ivf_persisted / sim_ivf_persisted_nprobe — front slots);
+# (d) catalog._drifted_schema (hidden-dir pruning order) — inert on
 # the driver's single-file fixtures, covered by
-# tests/test_catalog_drift.py + the drift fuzz pins; (d) bench.py /
-# scripts/stream_bench.py / scripts/ivf_amortize.py (measurement
-# harnesses, no query semantics); (e)
-# streaming.windows.near_dedup_within_watermark (NEW streaming
-# surface — pytest-only by nature, no batch oracle).
-# kmeans_refine gained property pins but no code change. All
-# changed/new names sit inside the first 50 (test_registry_order
-# enforces this).
+# tests/test_catalog_drift.py; (e) streaming.windows
+# near_dedup_within_watermark banded mode + scripts/stream_bench.py
+# (streaming surfaces — pytest/BENCH_STREAM, no batch oracle);
+# (f) bench.py ivf_amortized attach + scripts/* (measurement
+# harnesses, no query semantics). All changed/new names sit inside
+# the first 50 (test_registry_order enforces this).
 _CHECK_PRIORITY = [
-    # -- engine changed / NEW in round 11 (see closing audit above)
-    "sim_ivf_persisted",  # NEW in round 11 (I3 build-once/query-many)
-    "sim_ivf_persisted_nprobe",  # NEW in round 11 (multi-probe branch)
-    "sim_topk_quantized",  # NEW in round 11 (int8 scan-bandwidth lever)
-    "sim_ivf_topk",  # engine refactor (shared _ivf_assign)
-    "sim_ivf_nprobe",  # engine refactor (shared _ivf_assign)
-    # -- rotation debt: last hard driver check round 9
-    "agg_groupby",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_conditional",
-    "agg_stats",
-    "agg_pivot",
-    "agg_unpivot",
-    "join_broadcast",
-    "join_anti",
-    "join_left",
-    "join_semi",
-    "join_star",
-    "join_range",
-    "join_salted",
-    "window_rank",
-    "topk",
-    "sort_multi",
-    "set_union",
-    "sim_topk",
-    "sim_pairs",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "dedup_embedding",
-    "decontaminate",
-    "text_tokens",
-    "text_token_regex",
-    "text_scrub",
-    "text_repetition",
-    "sample_quota",
-    "split_assign",
-    "mix_weighted",
-    "route_assign",
-    "ts_gapfill",
-    "dq_validate",
-    "profile_columns",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
+    # -- engine changed / NEW in round 12 (see closing audit above)
+    "sim_ivf_trained",  # NEW in round 12 (trained-centroid persisted IVF)
+    "sim_topk_quantized",  # quantize_embedding totality guard
+    "sim_ivf_persisted",  # ivf_query override fix + fingerprint cache
+    "sim_ivf_persisted_nprobe",  # same surfaces, multi-probe branch
+    # -- rotation debt: last hard driver check round 10
+    "parse_kv",
+    "serialize_kv",
+    "parse_json",
+    "serialize_json",
+    "filter_required",
+    "project_rename",
+    "cast_types",
+    "filter_bitmask",
+    "case_map",
+    "scalar_string_date",
+    "rate_charge",
+    "join_asof",
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "null_handling",
+    "subquery_exists",
+    "subquery_scalar",
+    "merge_upsert",
+    "window_analytic",
+    "window_ntile",
+    "window_range_frame",
+    "window_tumbling",
+    "window_sliding",
+    "window_session",
+    "tpch_q12_priority_by_tier",
+    "tpch_q14_promo_share",
+    "tpch_q18_large_orders",
+    "tpch_q22_idle_customers",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_components",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_simhash",
+    "dedup_passages",
+    "llm_clean_corpus",
+    "pack_sequences",
+    "pack_sequences_bucketed",
+    "text_chunk",
+    "text_editdist",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
 ]
 
 

@@ -491,6 +491,62 @@ def sim_ivf_persisted_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_trained",
+    f"""
+    WITH {_DUCK_VALID_EMB}
+    SELECT q.vec_id AS q_vec_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6) DESC,
+                      c.vec_id) AS BIGINT)                       AS rank,
+           c.vec_id AS c_vec_id,
+           ROUND({_duck_cos('q.embedding', 'c.embedding')}, 6)   AS cos_sim
+    FROM (SELECT * FROM v WHERE vec_id IN (16, 17, 18, 19, 20)) q
+    JOIN v c ON q.vec_id <> c.vec_id
+    QUALIFY rank <= 5
+    ORDER BY q_vec_id, rank
+    """,
+    doc="I3 TRAINED-centroid persisted IVF (r12, VERDICT r11 #3): "
+    "ivf_build with kmeans_iters=2 (Lloyd-refined centroids — real "
+    "IVF recall, not the seeded-sample convention), served by "
+    "ivf_query at nprobe = n_centroids. Probing ALL inverted lists "
+    "makes the served top-k EXACT — independent of the FP-order-"
+    "dependent centroid values — so the trained build+serve path is "
+    "hash-checkable against the brute-force oracle; the recall-vs-"
+    "iters curve at small nprobe is measured separately "
+    "(scripts/ann_recall_probe.py, SCALE.md ANN table).",
+)
+def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    # separate cache slot from the untrained index (same fingerprint
+    # convention as sim_ivf_persisted)
+    key = ("trained", _embeddings_fingerprint(sf_dir))
+    index_path = _IVF_INDEX_CACHE.get(key)
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="sim_ivf_trained_") + "/index"
+        ivf_build(
+            e, "vec_id", "embedding", index_path,
+            n_centroids=16, kmeans_iters=2,
+        )
+        _IVF_INDEX_CACHE[key] = index_path
+    return ivf_query(
+        spark, index_path,
+        e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
+        "vec_id", "embedding", k=5, nprobe=16,
+    )
+
+
+@query(
     "sim_ann_multiprobe",
     f"""
     WITH sig AS (

@@ -16,7 +16,11 @@ replicas, scripts/scale_probe.py) and records, per configuration,
 Swept: ann_lsh_topk n_planes x {4,8,12,16} x multi_probe {off,on};
 ivf_topk n_centroids x {16,64,256} at kmeans_iters=2 (the refined
 form library callers use; the oracled query keeps iters=0 for
-cross-engine determinism only).
+cross-engine determinism only); and (r12) the PERSISTED build/serve
+path ivf_build+ivf_query sweeping kmeans_iters x {0,2,4} at fixed
+n_centroids/nprobe — the recall-vs-iters evidence behind
+sim_ivf_trained (training moves recall at fixed probe cost; the
+oracled query itself serves at probe-ALL where the answer is exact).
 
 Usage: python scripts/ann_recall_probe.py [out_json] [factor]
 Default factor 16. Results + per-knob guidance land in SCALE.md.
@@ -137,6 +141,33 @@ def main() -> None:
                          n * len(exact) * nprobe / n_centroids),
                      "wall_sec": round(wall, 2)}
             record["ivf"].append(entry)
+            print(entry, file=sys.stderr)
+
+    import tempfile
+
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ivf_build,
+        ivf_query,
+    )
+
+    record["ivf_iters"] = []
+    for iters in (0, 2, 4):
+        p = tempfile.mkdtemp(prefix=f"recall_iters{iters}_") + "/index"
+        t0 = time.perf_counter()
+        ivf_build(corpus, "vec_id", "embedding", p,
+                  n_centroids=64, kmeans_iters=iters)
+        build = time.perf_counter() - t0
+        for nprobe in (1, 2):
+            t0 = time.perf_counter()
+            rows = ivf_query(spark, p, queries, "vec_id", "embedding",
+                             k=K, nprobe=nprobe).collect()
+            wall = time.perf_counter() - t0
+            entry = {"kmeans_iters": iters, "n_centroids": 64,
+                     "nprobe": nprobe,
+                     "recall": recall_at_k(exact, rows),
+                     "build_sec": round(build, 2),
+                     "query_sec": round(wall, 2)}
+            record["ivf_iters"].append(entry)
             print(entry, file=sys.stderr)
 
     with open(out_path, "w") as f:
