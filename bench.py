@@ -190,14 +190,26 @@ def main() -> None:
     # the sustained-ingest run costs minutes and its numbers are
     # engine-reported per-batch metrics, not wall-clock — they don't
     # drift with machine-day load the way the batch timings do.
-    stream_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_STREAM.json"
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(stream_path) as f:
+        with open(os.path.join(here, "BENCH_STREAM.json")) as f:
             out["streaming"] = json.load(f)
     except (OSError, ValueError):
         pass
+    # Attach the committed IVF build-once/serve-many amortization curve
+    # (scripts/ivf_amortize.py → BENCH_IVF.json) — the whole point of
+    # sim_ivf_persisted is the amortized per-batch cost, which the
+    # per-query timing (build included every run) cannot show (VERDICT
+    # r11 #6) — and the same-session A/B attribution record
+    # (scripts/ab_attrib.py → BENCH_AB.json) so cross-round perf
+    # disputes carry their evidence inside the bench record itself.
+    for fname, key in (("BENCH_IVF.json", "ivf_amortized"),
+                       ("BENCH_AB.json", "ab_attribution")):
+        try:
+            with open(os.path.join(here, fname)) as f:
+                out[key] = json.load(f)
+        except (OSError, ValueError):
+            pass
     line = json.dumps(out)
     print(line)
     # Self-insurance: the round driver's capture buffer has truncated

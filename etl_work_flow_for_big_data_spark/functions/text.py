@@ -357,6 +357,35 @@ def simhash16_expr(tokens_sql: str) -> str:
     """
 
 
+def simhash32_expr(tokens_sql: str) -> str:
+    """32-bit SimHash of a distinct-token array expression — the
+    BANDED streaming gate's fingerprint (streaming/windows.py
+    ``near_dedup_within_watermark(mode="banded")``), split there into
+    two 16-bit bands. Same construction as :func:`simhash16_expr`
+    (one md5 word per token via the 1-element-array binding trick,
+    then per-bit majority votes) widened to 8 hex chars / 32 bit
+    positions; the word and the fold run in BIGINT because
+    ``shiftleft(1, 31)`` overflows a signed INT.
+
+    Why a wider hash exists at all: banding a 16-bit fingerprint into
+    two 8-bit keys gives each band only 256 possible values, so a
+    band's dedup state SATURATES after 256 distinct values in the
+    horizon and the gate would reject everything — 16-bit bands
+    (65,536 values each) keep the false-collision rate workable at
+    realistic ingest volumes."""
+    return f"""
+    element_at(transform(
+      array(transform({tokens_sql},
+                      t -> CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))),
+      hs -> aggregate(
+        sequence(0, 31), CAST(0 AS BIGINT),
+        (acc, j) -> acc + IF(
+          aggregate(hs, 0, (a, h) -> a + IF(((h >> j) & 1) = 1, 1, -1)) > 0,
+          shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+    ), 1)
+    """
+
+
 def stopword_count(text: Column, stopwords: list[str] | None = None) -> Column:
     """Number of tokens that are stopwords (integral — pair with
     ``round4_ratio`` for a cross-engine-exact ratio)."""

@@ -31,7 +31,13 @@ Structured Streaming itself reports per batch
    ~25% of rows are duplicates planted within AND across adjacent
    micro-batches (the cross-batch case is why state exists at all).
    Reported: rows/s plus state rows/bytes at two volumes.
-4. **stateful** — the G8 custom per-key processor
+4. **dedup_h1** — the BANDED near-dup ingest gate (r12:
+   ``near_dedup_within_watermark(mode="banded")``, Hamming-1
+   tolerance via two chained 16-bit-band dedup stages). The scale
+   contract: state = two int rows per admitted-frontier doc in the
+   horizon — ×2 the exact gate's, still invariant in stream length;
+   ``state_rows_by_op`` records the per-band split.
+5. **stateful** — the G8 custom per-key processor
    (running_totals_per_key: two scalars of keyed, checkpointed state
    per user; transformWithState when the runtime can execute it, the
    applyInPandasWithState fallback otherwise — this sandbox lacks
@@ -115,11 +121,21 @@ def _progress_stats(q) -> dict:
     }
     state = [p for p in progresses if p.get("stateOperators")]
     if state:
-        last = state[-1]["stateOperators"][0]
+        # sum across operators: the banded dedup pipeline chains TWO
+        # dropDuplicatesWithinWatermark stages (r12), so "state" is the
+        # total the executor holds; the per-op split is kept when >1
+        last_ops = state[-1]["stateOperators"]
         peak_bytes = max(
-            p["stateOperators"][0].get("memoryUsedBytes", 0) for p in state
+            sum(op.get("memoryUsedBytes", 0) for op in p["stateOperators"])
+            for p in state
         )
-        out["state_rows_final"] = last.get("numRowsTotal")
+        out["state_rows_final"] = sum(
+            op.get("numRowsTotal") or 0 for op in last_ops
+        )
+        if len(last_ops) > 1:
+            out["state_rows_by_op"] = [
+                op.get("numRowsTotal") for op in last_ops
+            ]
         out["state_bytes_peak"] = peak_bytes
     return out
 
@@ -314,6 +330,89 @@ def bench_dedup(spark, tmp: str, n_rows: int) -> dict:
     return out
 
 
+def bench_dedup_h1(spark, tmp: str, n_rows: int) -> dict:
+    """Banded (Hamming-1-tolerant) near-dup ingest gate (r12, VERDICT
+    r11 #5): ``near_dedup_within_watermark(mode="banded")`` over
+    synthetic text documents — 8 md5-derived tokens per doc, ~20%
+    planted duplicates (every 5th doc repeats the previous doc's token
+    set; each batch's first doc repeats the previous batch's last
+    content — the cross-batch case state exists for). The contract
+    under measurement: state = TWO int rows (one per band store) per
+    admitted-frontier doc inside the watermark horizon — the ×2 price
+    of Hamming-1 tolerance vs the exact gate's ×1 (and vs ×17 for
+    multi-probe), still invariant in stream length."""
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    src = os.path.join(tmp, "docs")
+    os.makedirs(src)
+    per = n_rows // N_BATCHES
+    base = spark.createDataFrame([(i,) for i in range(per)], "i long")
+    for b in range(N_BATCHES):
+        cid = (
+            F.when(F.col("i") % 5 == 4, F.lit(b * per) + F.col("i") - 1)
+            .otherwise(F.lit(b * per) + F.col("i"))
+        )
+        if b:
+            # previous batch's last row is i = per-1 under the same
+            # rule: repeated content when (per-1) % 5 == 4
+            prev_last = (b - 1) * per + (
+                per - 2 if (per - 1) % 5 == 4 else per - 1
+            )
+            cid = F.when(F.col("i") == 0, F.lit(prev_last)).otherwise(cid)
+        text = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: F.concat(
+                    F.lit("t"),
+                    F.md5(
+                        F.concat(
+                            cid.cast("string"), F.lit("_"), j.cast("string")
+                        )
+                    ),
+                ),
+            ),
+            " ",
+        )
+        (
+            base.select(
+                (F.lit(b * per) + F.col("i")).alias("doc_id"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000 + b * 600) + (F.col("i") % 600)
+                ).alias("ts"),
+                text.alias("text"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(src, f"b{b:04d}"))
+        )
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    gated = near_dedup_within_watermark(
+        stream, "text", ts_col="ts", watermark="30 minutes", mode="banded"
+    )
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").format("noop").save()
+
+    t0 = time.perf_counter()
+    q = _drain(
+        gated.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+    )
+    wall = time.perf_counter() - t0
+    out = _progress_stats(q)
+    out["wall_sec"] = round(wall, 2)
+    return out
+
+
 def bench_stateful(spark, tmp: str, n_rows: int) -> dict:
     from etl_work_flow_for_big_data_spark.streaming.stateful import (
         running_totals_per_key,
@@ -373,7 +472,8 @@ def main() -> None:
     record: dict = {"metric": "streaming_sustained_ingest",
                     "n_batches": N_BATCHES, "pipelines": {}}
     for name, fn in (("mediation", bench_mediation), ("windowed", bench_windowed),
-                     ("dedup", bench_dedup), ("stateful", bench_stateful)):
+                     ("dedup", bench_dedup), ("dedup_h1", bench_dedup_h1),
+                     ("stateful", bench_stateful)):
         record["pipelines"][name] = {}
         for n in volumes:
             tmp = tempfile.mkdtemp(prefix=f"stream_bench_{name}_{n}_")

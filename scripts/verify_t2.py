@@ -4,6 +4,11 @@ Defaults to sf0.01 (the driver's scale); set VERIFY_SF_DIR to sweep
 another scale — e.g. sf0.1 catches scale-dependent divergence the
 driver never exercises (oracle cost grows super-linearly for the
 recursive-CTE / posting-list oracles, so expect minutes there).
+Scratch fixtures built by scale_probe.build_fixture store each table
+as a DIRECTORY of parquet parts; those get a recursive glob view.
+VERIFY_QUERIES=a,b,c restricts the sweep to a named subset (the r12
+sf~1 spot-sweep runs the data-dependent dedup/sim/pack families
+there instead of the first N slots).
 """
 import os, sys, time, traceback
 sys.path.insert(0, "/root/repo")
@@ -28,13 +33,16 @@ qs, osql = e.queries(), e.oracle_sql()
 
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    src = f"{SF}/{t}.parquet"
+    glob = f"{src}/**/*.parquet" if os.path.isdir(src) else src
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
 
 sys.path.insert(0, "/root/repo/tests")
 from parity import compare
 
 fails = []
-names = list(qs)[:N]
+only = os.environ.get("VERIFY_QUERIES")
+names = only.split(",") if only else list(qs)[:N]
 for name in names:
     t0 = time.time()
     try:

@@ -563,3 +563,179 @@ def test_near_dedup_rejects_simhash_column_collision(spark):
     ).withColumn("ts", F.current_timestamp())
     with pytest.raises(ValueError, match="__simhash"):
         near_dedup_within_watermark(df, "text")
+
+
+def _fp32_py(text: str) -> int:
+    """Python reference of functions.text.simhash32_expr (per-token
+    32-bit md5 word, per-bit majority vote over distinct tokens)."""
+    import hashlib
+
+    toks = sorted({t for t in text.split(" ") if t})
+    words = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    fp = 0
+    for j in range(32):
+        vote = sum(1 if (w >> j) & 1 else -1 for w in words)
+        if vote > 0:
+            fp |= 1 << j
+    return fp
+
+
+def test_near_dedup_banded_catches_hamming1(spark, tmp_path):
+    """Banded mode (r12, VERDICT r11 #5): Hamming-1 tolerance at state
+    x2. Crafted single-token docs (a 1-token doc's 32-bit SimHash IS
+    its md5 word): md5('w5711')[:8]=0xeff49095 and
+    md5('w7566')[:8]=0xaff49095 differ in exactly ONE bit, inside the
+    HIGH band — so their 16-bit fingerprints differ (exact mode admits
+    both) while the low bands are equal (banded mode drops the
+    second). A token-shuffled rewrite (Hamming-0) is caught at the
+    high-band stage; an unrelated doc passes."""
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    # pin the crafted pair before trusting it
+    assert _fp32_py("w5711") ^ _fp32_py("w7566") == 0x4000_0000
+    docs = [
+        {"doc_id": 1, "ts": "2024-01-01 00:05:00", "text": "w5711"},
+        {"doc_id": 2, "ts": "2024-01-01 00:06:00", "text": "w7566"},
+        {"doc_id": 3, "ts": "2024-01-01 00:07:00",
+         "text": "alpha beta gamma"},
+        {"doc_id": 4, "ts": "2024-01-01 00:08:00",
+         "text": "gamma beta alpha alpha"},
+    ]
+    indir = tmp_path / "docs_in"
+    indir.mkdir(parents=True)
+    for d in docs:
+        with open(indir / f"b{d['doc_id']:02d}.json", "w") as f:
+            f.write(json.dumps(d) + "\n")
+        time.sleep(0.02)  # file-source processes in mtime order
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    gate = near_dedup_within_watermark(
+        stream, "text", watermark="1 hour", mode="banded"
+    )
+    outdir = tmp_path / "out"
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(outdir))
+
+    q = (
+        gate.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(outdir)).collect())
+    assert got == [1, 3]
+    # internal band columns never leak
+    assert [f.name for f in gate.schema.fields] == ["doc_id", "ts", "text"]
+
+    # exact mode ADMITS the Hamming-1 doc (different 16-bit fp) — the
+    # recall delta banded mode exists for
+    exact_out = tmp_path / "out_exact"
+    q2 = (
+        near_dedup_within_watermark(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(indir)),
+            "text", watermark="1 hour", mode="exact",
+        )
+        .writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(str(exact_out))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_exact"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_exact = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(exact_out)).collect()
+    )
+    assert got_exact == [1, 2, 3]
+
+
+def test_near_dedup_banded_batch_parity(spark, tmp_path):
+    """The streaming banded gate ≡ the keep-first chained-band batch
+    twin: replaying the same ordered corpus through a Python reference
+    (register every doc's high band; low band only for high-band-fresh
+    docs — admitted docs register both) yields the same admitted set.
+    Seeded 24-doc corpus over a 6-token vocab plants real band
+    collisions (exact rewrites, overlapping sets, distinct docs)."""
+    import random
+
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    rng = random.Random(12)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    docs = []
+    for i in range(24):
+        toks = rng.sample(vocab, rng.randint(2, 4))
+        docs.append(
+            {"doc_id": i, "ts": f"2024-01-01 00:{i:02d}:00",
+             "text": " ".join(toks)}
+        )
+    indir = tmp_path / "docs_in"
+    indir.mkdir(parents=True)
+    for d in docs:
+        with open(indir / f"b{d['doc_id']:02d}.json", "w") as f:
+            f.write(json.dumps(d) + "\n")
+        time.sleep(0.02)
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(indir))
+    )
+    gate = near_dedup_within_watermark(
+        stream, "text", watermark="2 hours", mode="banded"
+    )
+    outdir = tmp_path / "out"
+    q = (
+        gate.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(str(outdir))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(outdir)).collect())
+
+    seen_hi: set[int] = set()
+    seen_lo: set[int] = set()
+    want = []
+    for d in docs:
+        fp = _fp32_py(d["text"])
+        hi, lo = fp >> 16, fp & 0xFFFF
+        if hi in seen_hi:
+            continue
+        seen_hi.add(hi)
+        if lo in seen_lo:
+            continue
+        seen_lo.add(lo)
+        want.append(d["doc_id"])
+    assert got == sorted(want) and 0 < len(want) < len(docs)
+
+
+def test_near_dedup_rejects_band_column_collision(spark):
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "y")], "doc_id long, text string, __band_hi string"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="__band_hi"):
+        near_dedup_within_watermark(df, "text", mode="banded")
+    with pytest.raises(ValueError, match="unknown mode"):
+        near_dedup_within_watermark(df.drop("__band_hi"), "text", mode="h1")
