@@ -133,8 +133,15 @@ def near_dedup_within_watermark(
     corpus diet, not for billing-grade dedup), and the VERDICT's
     2×8-bit sketch over the 16-bit fingerprint was rejected because a
     256-value band keyspace saturates within one realistic batch.
-    State: ≤2 int rows per admitted doc (measured in BENCH_STREAM's
-    dedup_h1 pipeline)."""
+    State: one int row per DISTINCT high band in the horizon plus one
+    per distinct low band among high-band-fresh docs — ≤2 rows per
+    distinct-content doc in the horizon, the ×2 bound (measured, with
+    the per-band split, in BENCH_STREAM's dedup_h1 pipeline). Cost
+    note: each chained stage adds a shuffle + one state-store instance
+    PER SHUFFLE PARTITION whose commit cost is per-batch fixed —
+    size ``spark.sql.shuffle.partitions`` to the ingest rate
+    (measured: the banded gate at 2.5k-row batches runs p50 815 ms at
+    8 partitions vs 1.5 s at 32; the exact gate 490 ms at 8)."""
     for col in ("__simhash", "__band_hi", "__band_lo"):
         if col in df.columns:
             # same contract as salted_join's __salt: the working
