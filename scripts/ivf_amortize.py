@@ -127,6 +127,16 @@ def main() -> None:
             _noop(ivf_query(spark, index_path, q, "vec_id", "embedding",
                             k=5))
             queries.append(time.perf_counter() - t0)
+        # nprobe=2: the recall lever's serve cost (scan grows ~2 probed
+        # lists per query; build is shared) — VERDICT r11 #6 asks the
+        # committed record to carry both probe points
+        queries_np2 = []
+        for ids in batches:
+            q = base.filter(F.col("vec_id").isin(ids))
+            t0 = time.perf_counter()
+            _noop(ivf_query(spark, index_path, q, "vec_id", "embedding",
+                            k=5, nprobe=2))
+            queries_np2.append(time.perf_counter() - t0)
 
         med_os, med_q = _median(one_shot), _median(queries)
         rec["cells"][f"x{mult}"] = {
@@ -136,6 +146,7 @@ def main() -> None:
             "build_sec": round(build_sec, 3),
             "query_per_batch_sec": [round(x, 3) for x in queries],
             "query_med_sec": round(med_q, 3),
+            "query_med_sec_nprobe2": round(_median(queries_np2), 3),
             "speedup_per_batch": round(med_os / med_q, 2),
             "breakeven_batches": round(
                 build_sec / max(med_os - med_q, 1e-9), 1
