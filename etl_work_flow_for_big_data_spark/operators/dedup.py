@@ -267,6 +267,19 @@ def minhash_lsh_pairs(
     JVM ContextCleaner once the returned plan is garbage-collected;
     long-lived sessions running many dedups should spark.catalog
     .clearCache() between batches if storage memory is tight.
+
+    Join strategy (r12, found by the ~sf1 oracle sweep): the band
+    self-join and both shingle-verify joins carry an explicit
+    ``merge`` hint. Every side of those joins is CORPUS-sized, but
+    Catalyst's static size estimate for the pruned scan wildly
+    underestimates the materialized array columns (shingle sets,
+    band strings), so it auto-broadcast all three — at 50k docs the
+    broadcast build OOM'd a default-memory driver ("Not enough memory
+    to build and broadcast"), and AQE cannot demote a statically
+    planned broadcast join. Sort-merge streams and spills instead;
+    at dim-scale inputs the extra exchanges cost milliseconds
+    (measured at sf0.1), at 100 TB they are the only plan that
+    completes.
     """
     if n_bands <= 0 or n_hashes % n_bands != 0:
         raise ValueError(
@@ -293,7 +306,7 @@ def minhash_lsh_pairs(
     )
     banded = base.select(
         "id", F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
-    )
+    ).hint("merge")
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (
@@ -301,8 +314,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("d1"), F.col("y.id").alias("d2"))
         .distinct()
     )
-    sh1 = base.select(F.col("id").alias("d1"), F.col("sh").alias("sh1"))
-    sh2 = base.select(F.col("id").alias("d2"), F.col("sh").alias("sh2"))
+    sh1 = base.select(F.col("id").alias("d1"), F.col("sh").alias("sh1")).hint("merge")
+    sh2 = base.select(F.col("id").alias("d2"), F.col("sh").alias("sh2")).hint("merge")
     return (
         cand.join(sh1, "d1")
         .join(sh2, "d2")

@@ -109,16 +109,23 @@ def test_rate_charge_codegen(spark, sf_dir):
     assert re.search(r"\*\(\d+\)", plan)
 
 
-def test_dedup_minhash_verify_joins_broadcast(spark, sf_dir):
-    """The LSH band join and the shingle-verify joins must stay
-    broadcast at dim-scale candidate counts — a SortMergeJoin here
-    means the candidate side stopped fitting (or AQE is off) and the
-    whole dedup degenerates to shuffle-everything."""
+def test_dedup_minhash_joins_never_broadcast_corpus(spark, sf_dir):
+    """INVERTED r12 (the old pin asserted these joins stay broadcast —
+    wrong at scale, and the ~sf1 oracle sweep proved it): every side
+    of the band self-join and the shingle-verify joins is
+    CORPUS-sized, and Catalyst's static estimate of the pruned scan
+    underestimates the materialized array columns so badly that it
+    auto-broadcast all three — at 50k docs the broadcast build OOM'd a
+    default-memory driver, and AQE cannot demote a statically-planned
+    BroadcastHashJoin. The merge hint pins them to sort-merge, which
+    streams and spills at any scale. A BroadcastHashJoin reappearing
+    here means the hint was lost and the operator dies again at
+    corpus scale."""
     df = REGISTRY["dedup_minhash"].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("SortMergeJoin") >= 3, plan
 
 
 def test_text_queries_no_extra_exchange(spark, sf_dir):
@@ -606,7 +613,12 @@ EXCHANGE_BUDGET = {
     "text_fingerprint": 0,
     "dedup_exact": 1,
     "dedup_ngram": 6,
-    "dedup_minhash": 1,
+    # re-baselined 1 → 7 in r12: the band self-join and both
+    # shingle-verify joins moved from (mis-estimated, driver-OOM at
+    # 50k docs) static broadcast to hinted sort-merge — two hash
+    # exchanges per join plus the candidate-distinct exchange are the
+    # price of a plan that completes at corpus scale
+    "dedup_minhash": 7,
     "dedup_simhash": 0,
     "text_chunk": 0,
     "dedup_apply": 7,
