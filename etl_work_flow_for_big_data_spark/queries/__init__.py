@@ -98,14 +98,20 @@ def _tuned(fn):
 # near_dedup_within_watermark banded mode + scripts/stream_bench.py
 # (streaming surfaces — pytest/BENCH_STREAM, no batch oracle);
 # (f) bench.py ivf_amortized attach + scripts/* (measurement
-# harnesses, no query semantics). All changed/new names sit inside
-# the first 50 (test_registry_order enforces this).
+# harnesses, no query semantics); (g) operators.dedup
+# minhash_lsh_pairs — the ~sf1 sweep's driver-OOM fix moved its three
+# corpus-sized joins from mis-estimated static broadcast to hinted
+# sort-merge (values unchanged, strategy changed): dedup_minhash
+# moves from the rotation-debt block to a FRONT slot, rule over
+# trust. All changed/new names sit inside the first 50
+# (test_registry_order enforces this).
 _CHECK_PRIORITY = [
     # -- engine changed / NEW in round 12 (see closing audit above)
     "sim_ivf_trained",  # NEW in round 12 (trained-centroid persisted IVF)
     "sim_topk_quantized",  # quantize_embedding totality guard
     "sim_ivf_persisted",  # ivf_query override fix + fingerprint cache
     "sim_ivf_persisted_nprobe",  # same surfaces, multi-probe branch
+    "dedup_minhash",  # merge-hinted corpus joins (sf1 OOM fix)
     # -- rotation debt: last hard driver check round 10
     "parse_kv",
     "serialize_kv",
@@ -138,7 +144,6 @@ _CHECK_PRIORITY = [
     "dedup_exact",
     "dedup_apply",
     "dedup_components",
-    "dedup_minhash",
     "dedup_ngram",
     "dedup_simhash",
     "dedup_passages",

@@ -608,6 +608,10 @@ EXCHANGE_BUDGET = {
     # identical serve plan — the wider probe set is still a collected
     # literal, only the isin/partition-filter list grows
     "sim_ivf_persisted_nprobe": 4,
+    # trained build serves at probe-ALL: same query-side plan shape as
+    # the persisted nprobe form (probe kernel + pruned postings scan +
+    # broadcast join + rank window)
+    "sim_ivf_trained": 4,
     "text_quality": 0,
     "text_lang_id": 0,
     "text_fingerprint": 0,

@@ -26,6 +26,7 @@ CHANGED_THIS_ROUND = [
     "sim_topk_quantized",
     "sim_ivf_persisted",
     "sim_ivf_persisted_nprobe",
+    "dedup_minhash",  # merge-hinted corpus joins (the sf1 OOM fix)
 ]
 
 
