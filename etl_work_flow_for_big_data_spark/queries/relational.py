@@ -750,14 +750,33 @@ _SUBQ_EXISTS_SQL = """
 @query(
     "subquery_exists",
     _SUBQ_EXISTS_SQL.format(orders="orders", lineitem="lineitem"),
-    doc="correlated EXISTS (TPC-H Q4 shape) — Catalyst decorrelates to "
-    "a left-semi join on l_orderkey with the date predicate",
+    doc="correlated EXISTS (TPC-H Q4 shape) — implemented as the "
+    "explicit decorrelated left-semi join so the fact side carries a "
+    "merge hint (see function comment); same semantics as the oracle "
+    "EXISTS, Catalyst produces the identical decorrelated shape.",
 )
 def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        _SUBQ_EXISTS_SQL,
-        orders=load_table(spark, sf_dir, "orders"),
-        lineitem=load_table(spark, sf_dir, "lineitem"),
+    # Explicit decorrelated form (r12): the EXISTS compiles to a
+    # left-semi join of two FACT tables, and near the autoBroadcast
+    # threshold Catalyst's pruned scan estimate undershoots the
+    # materialized HashedRelation 5-10× (row overhead) — the ~sf1
+    # loaded-driver sweep OOM'd exactly there ("Not enough memory to
+    # build and broadcast"). A fact side must never rely on static
+    # broadcast; sort-merge streams and spills at any scale. The hint
+    # CANNOT be written in the SQL form: RewritePredicateSubquery
+    # drops hints inside correlated subqueries (verified on the x10
+    # plan), so the query builds the decorrelated join directly.
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").hint("merge")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        sem.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
     )
 
 
@@ -779,8 +798,27 @@ _SUBQ_SCALAR_SQL = """
     "into a per-part aggregate joined back to the fact",
 )
 def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        _SUBQ_SCALAR_SQL, lineitem=load_table(spark, sf_dir, "lineitem")
+    # Explicit decorrelated form (r12, same fact-vs-fact rule and
+    # hint-dropping reason as subquery_exists): the per-part average
+    # is CORPUS-scaled (one row per distinct partkey in lineitem) and
+    # must not statically broadcast into the lineitem probe. Every l1
+    # partkey exists in the aggregate (same table), so the inner
+    # equi-join reproduces the correlated-scalar semantics exactly;
+    # the threshold expression (0.5 * AVG) is byte-identical to the
+    # oracle's.
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("__thr"))
+        .hint("merge")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
     )
 
 
@@ -1188,6 +1226,14 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("sum_qty_raw"))
         .filter(F.col("sum_qty_raw") > 150)
+        # merge hint (r12, ~sf1 loaded-driver sweep): the large-order
+        # set is CORPUS-scaled (a share of all orders), and Catalyst's
+        # post-aggregation estimate is a guess — statically
+        # broadcasting it into the orders fact join OOM'd the driver
+        # at x10. A fact-derived side never relies on static
+        # broadcast; the dim join below keeps its size-gated
+        # maybe_broadcast.
+        .hint("merge")
     )
     return (
         t.join(o, t.l_orderkey == o.o_orderkey)

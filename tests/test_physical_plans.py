@@ -571,8 +571,12 @@ EXCHANGE_BUDGET = {
     "join_asof": 1,
     "agg_approx_distinct": 2,
     "window_analytic": 1,
-    "subquery_exists": 2,
-    "subquery_scalar": 2,
+    # subquery_exists/scalar re-baselined 2→4 / 2→3 in r12: the
+    # decorrelated fact-fact joins moved from (near-threshold,
+    # loaded-driver-OOM at ~sf1) static broadcast to hinted
+    # sort-merge — both sides shuffle on the join key now
+    "subquery_exists": 4,
+    "subquery_scalar": 3,
     "tpch_q3_shipping_priority": 1,
     "tpch_q10_returned_items": 1,
     "tpch_q12_priority_by_tier": 1,
@@ -581,7 +585,11 @@ EXCHANGE_BUDGET = {
     "tpch_q14_promo_share": 1,
     "tpch_q22_idle_customers": 3,
     "tpch_q5_local_supplier_volume": 1,
-    "tpch_q18_large_orders": 1,
+    # re-baselined 1→2 in r12: the corpus-scaled large-order set no
+    # longer statically broadcasts into the orders join (same ~sf1
+    # loaded-driver OOM class); its merge hint adds the orders-side
+    # exchange
+    "tpch_q18_large_orders": 2,
     "merge_upsert": 1,
     "window_ntile": 3,
     "window_range_frame": 1,

@@ -27,6 +27,9 @@ CHANGED_THIS_ROUND = [
     "sim_ivf_persisted",
     "sim_ivf_persisted_nprobe",
     "dedup_minhash",  # merge-hinted corpus joins (the sf1 OOM fix)
+    "subquery_exists",  # explicit decorrelated semi-join + merge hint
+    "subquery_scalar",  # explicit decorrelated aggregate + merge hint
+    "tpch_q18_large_orders",  # merge-hinted corpus-scaled build side
 ]
 
 
