@@ -729,11 +729,13 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# {orders}/{lineitem} are templated table refs: Spark binds them to
-# DataFrames via spark.sql(**kwargs) — no session-global temp view, so
-# concurrent queries over different sf_dirs can't stomp each other's
-# name bindings — and the oracle .format()s the plain view names back
-# in, keeping ONE source string for both engines.
+# {orders}/{lineitem} are templated table refs for the ORACLE side
+# (.format()s the plain view names in). Until r12 the Spark side ran
+# the same string via spark.sql(**kwargs); it now builds the explicit
+# decorrelated join instead — Catalyst drops join hints written inside
+# correlated subqueries, and the fact-fact join here must carry one
+# (see subquery_exists). The SQL remains the single source of truth
+# for the SEMANTICS both engines must agree on.
 _SUBQ_EXISTS_SQL = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders
