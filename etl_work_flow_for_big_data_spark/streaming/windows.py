@@ -142,12 +142,16 @@ def near_dedup_within_watermark(
     size ``spark.sql.shuffle.partitions`` to the ingest rate
     (measured: the banded gate at 2.5k-row batches runs p50 815 ms at
     8 partitions vs 1.5 s at 32; the exact gate 490 ms at 8)."""
-    for col in ("__simhash", "__band_hi", "__band_lo"):
+    # same contract as salted_join's __salt: the working columns are
+    # internal, and silently overwriting a caller's column of the same
+    # name would both corrupt their data and dedup on the wrong key.
+    # Only the columns the SELECTED mode actually writes are checked
+    # (ADVICE r12: rejecting __band_hi in exact mode — where it is
+    # never written — was a behavioral regression for existing
+    # exact-mode callers whose input happens to carry such a column).
+    reserved = {"exact": ("__simhash",), "banded": ("__band_hi", "__band_lo")}
+    for col in reserved.get(mode, ()):
         if col in df.columns:
-            # same contract as salted_join's __salt: the working
-            # column is internal, and silently overwriting a caller's
-            # column of the same name would both corrupt their data
-            # and dedup on the wrong key
             raise ValueError(
                 f"input already has a {col} column; rename it first"
             )

@@ -41,9 +41,16 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-SUSPECTS = ["join_range", "join_semi", "rate_charge", "join_salted",
-            "join_left"]
-CONTROL = "topk"  # stable, code-untouched for many rounds
+# default suspect set (the r11 dispute); override per-investigation
+# with SPARK_GRAFT_AB_SUSPECTS=a,b,c — r13 runs it on the dedup family
+# (dedup_apply 3.55×, dedup_passages 3.21× round-over-round, VERDICT
+# r12 what's-wrong #2)
+SUSPECTS = os.environ.get(
+    "SPARK_GRAFT_AB_SUSPECTS",
+    "join_range,join_semi,rate_charge,join_salted,join_left",
+).split(",")
+CONTROL = os.environ.get("SPARK_GRAFT_AB_CONTROL", "topk")
+# stable, code-untouched for many rounds
 
 
 def first_records() -> dict[str, float]:

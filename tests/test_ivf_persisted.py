@@ -271,3 +271,44 @@ def test_persisted_query_cache_invalidates_on_table_rewrite(spark, tmp_path):
         )
     )
     assert got == want and got != first
+
+
+def test_persisted_query_cache_evicts_superseded_index(spark, tmp_path):
+    """r12 ADVICE: a fingerprint change must DROP the superseded cache
+    entry and remove its temp index directory — keyed-by-fingerprint
+    alone, every fixture rewrite leaked an index dir and a cache entry
+    for the life of the session."""
+    import os
+    import random
+
+    from etl_work_flow_for_big_data_spark.queries import similarity as qs
+
+    sf_dir = str(tmp_path)
+
+    def write_table(seed: int) -> None:
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)
+        ]
+        (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{sf_dir}/embeddings.parquet")
+        )
+
+    write_table(1)
+    _rows(qs.sim_ivf_persisted(spark, sf_dir))
+    slot = ("persisted", sf_dir)
+    _fp1, path1 = qs._IVF_INDEX_CACHE[slot]
+    assert os.path.isdir(os.path.dirname(path1))
+    n_before = len(qs._IVF_INDEX_CACHE)
+
+    write_table(2)
+    _rows(qs.sim_ivf_persisted(spark, sf_dir))
+    _fp2, path2 = qs._IVF_INDEX_CACHE[slot]
+    assert path2 != path1
+    # at most one live index per slot: entry count unchanged, old dir gone
+    assert len(qs._IVF_INDEX_CACHE) == n_before
+    assert not os.path.exists(os.path.dirname(path1))
+    assert os.path.isdir(os.path.dirname(path2))

@@ -75,6 +75,35 @@ def test_jdbc_topology_compiles_and_runs(spark, derby_url):
     assert rows == [(1, "rating")]  # orphan dropped by filter_valid
 
 
+def test_jdbc_sink_round_trip(spark, derby_url):
+    """A4 writeback (r13): SINKS jdbc writer → Derby → SOURCES jdbc
+    reader round-trips values and schema — the rating-result
+    persistence path, mirror-tested like the read side."""
+    from etl_work_flow_for_big_data_spark.sources.registry import SINKS
+
+    rated = spark.createDataFrame(
+        [(1, "voice", 12.50), (2, "sms", 0.75), (3, "data", 99.99)],
+        "call_id int, service string, charge double",
+    )
+    SINKS.write("jdbc", rated, derby_url, table='"rated_cdrs"', mode="overwrite")
+    back = SOURCES.read(spark, "jdbc", derby_url, dbtable='"rated_cdrs"')
+    got = sorted((r["call_id"], r["service"], r["charge"]) for r in back.collect())
+    assert got == [(1, "voice", 12.50), (2, "sms", 0.75), (3, "data", 99.99)]
+
+    # append mode adds, never replaces
+    SINKS.write("jdbc", rated.filter("call_id = 1"), derby_url,
+                table='"rated_cdrs"', mode="append")
+    assert back.count() == 4
+
+
+def test_jdbc_sink_clear_error_without_driver(spark):
+    from etl_work_flow_for_big_data_spark.sources.registry import write_jdbc
+
+    df = spark.range(1)
+    with pytest.raises(RuntimeError, match="jdbc sink needs a JDBC driver"):
+        write_jdbc(df, "jdbc:nosuchdb://nowhere", '"t"')
+
+
 def test_jdbc_query_pushdown(spark, derby_url):
     """Predicate reaches the remote database: the jdbc source accepts a
     pushdown query so only matching config rows cross the wire."""

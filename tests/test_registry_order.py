@@ -7,58 +7,70 @@ first 50 slots of ``load_all()``. See queries/__init__.py
 ``_CHECK_PRIORITY``.
 """
 
-import glob
 import json
 import os
-import re
 
-from etl_work_flow_for_big_data_spark.queries import _CHECK_PRIORITY, load_all
+from etl_work_flow_for_big_data_spark.queries import (
+    _CHECK_PRIORITY,
+    _PRIORITY_BASIS,
+    load_all,
+)
 
-# Round-12 changed set (manual — matches the closing audit in
-# queries/__init__.py): sim_ivf_trained is NEW (trained-centroid
-# persisted IVF served at probe-ALL); quantize_embedding gained the
-# totality guard (sim_topk_quantized consumes it); ivf_query's
-# owns-itself override now keys on centroid membership and the
-# persisted-index cache keys on a table fingerprint
-# (sim_ivf_persisted[_nprobe] consume both).
+# Round-13 changed set (manual — matches the closing audit in
+# queries/__init__.py): dedup_embedding_ann is NEW (LSH-bucketed
+# candidate generation → exact cosine verify → keep-lowest-id, the
+# scale-safe embedding-dedup path); the other four had their r12
+# unconditional merge hints replaced by the size-gated chooser
+# (catalog.maybe_merge) — broadcast when the on-disk side is provably
+# small, merge otherwise.
 CHANGED_THIS_ROUND = [
-    "sim_ivf_trained",  # NEW query this round
-    "sim_topk_quantized",
-    "sim_ivf_persisted",
-    "sim_ivf_persisted_nprobe",
-    "dedup_minhash",  # merge-hinted corpus joins (the sf1 OOM fix)
-    "subquery_exists",  # explicit decorrelated semi-join + merge hint
-    "subquery_scalar",  # explicit decorrelated aggregate + merge hint
-    "tpch_q18_large_orders",  # merge-hinted corpus-scaled build side
+    "dedup_embedding_ann",  # NEW query this round
+    "dedup_minhash",
+    "subquery_exists",
+    "subquery_scalar",
+    "tpch_q18_large_orders",
 ]
+
+DRIVER_WINDOW = 50
 
 
 def _stale_keys() -> list[str]:
-    """Rotation debt derived from the committed driver records, not a
-    hand-maintained list (r12): queries hard-checked in round N-1 but
-    not round N are exactly the ≤1-round-staleness debt the next
-    driver run must clear. Deriving it here means the test cannot
-    drift from the actual CORRECTNESS history the judge audits."""
+    """Rotation debt derived from the committed driver records: queries
+    hard-checked in round N-1 but not round N are exactly the debt the
+    next driver run must clear. The record pair is PINNED by
+    ``_PRIORITY_BASIS`` (the pair the priority list was written
+    against), not "the two newest on disk" — ADVICE r12 #1: deriving
+    from the newest records meant the driver committing the round-close
+    snapshot reddened this guard until the list was hand-rewritten.
+    The pair and the list now move together at round open."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    recs = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
-    )
-    if len(recs) < 2:
+    lo, hi = _PRIORITY_BASIS
+    try:
+        with open(os.path.join(root, f"CORRECTNESS_r{lo:02d}.json")) as f:
+            prev = set(json.load(f))
+        with open(os.path.join(root, f"CORRECTNESS_r{hi:02d}.json")) as f:
+            latest = set(json.load(f))
+    except FileNotFoundError:
         return []
-    with open(recs[-1]) as f:
-        latest = set(json.load(f))
-    with open(recs[-2]) as f:
-        prev = set(json.load(f))
     return sorted(prev - latest)
 
 
 def test_changed_queries_all_inside_the_50_slot_window():
+    """Changed queries MUST be inside the driver window; debt must be
+    too, unless changed+debt simply cannot fit — then the window must
+    hold the changed set plus a maximal prefix of the debt (no wasted
+    slot), and the overflow carries to the next round's basis."""
     names = list(load_all())
-    first_50 = set(names[:50])
-    must_check = CHANGED_THIS_ROUND + _stale_keys()
-    missing = [n for n in must_check if n not in first_50]
-    assert not missing, f"must-check queries outside the driver window: {missing}"
+    window = set(names[:DRIVER_WINDOW])
+    debt = _stale_keys()
+    missing_changed = [n for n in CHANGED_THIS_ROUND if n not in window]
+    assert not missing_changed, (
+        f"changed queries outside the driver window: {missing_changed}")
+    overflow_budget = max(0, len(CHANGED_THIS_ROUND) + len(debt) - DRIVER_WINDOW)
+    missing_debt = [n for n in debt if n not in window]
+    assert len(missing_debt) <= overflow_budget, (
+        f"debt outside the window beyond the unavoidable overflow "
+        f"({overflow_budget}): {missing_debt}")
 
 
 def test_changed_queries_lead_the_priority_list():
@@ -67,6 +79,15 @@ def test_changed_queries_lead_the_priority_list():
     the 50-slot window when the debt grows."""
     head = _CHECK_PRIORITY[: len(CHANGED_THIS_ROUND)]
     assert sorted(head) == sorted(CHANGED_THIS_ROUND), head
+
+
+def test_priority_covers_the_pinned_debt():
+    """Every debt name from the pinned basis pair appears in
+    _CHECK_PRIORITY (possibly beyond slot 50 when overflow is
+    unavoidable — the window test above bounds that)."""
+    listed = set(_CHECK_PRIORITY)
+    missing = [n for n in _stale_keys() if n not in listed]
+    assert not missing, f"debt absent from _CHECK_PRIORITY: {missing}"
 
 
 def test_registry_order_follows_check_priority():
@@ -83,7 +104,7 @@ def test_priority_names_all_registered():
 
 
 def test_priority_fits_driver_window():
-    assert len(_CHECK_PRIORITY) <= 50, len(_CHECK_PRIORITY)
+    assert len(_CHECK_PRIORITY) <= DRIVER_WINDOW, len(_CHECK_PRIORITY)
 
 
 def test_every_query_has_callable_and_registry_is_complete():

@@ -739,3 +739,30 @@ def test_near_dedup_rejects_band_column_collision(spark):
         near_dedup_within_watermark(df, "text", mode="banded")
     with pytest.raises(ValueError, match="unknown mode"):
         near_dedup_within_watermark(df.drop("__band_hi"), "text", mode="h1")
+
+
+def test_near_dedup_collision_check_is_mode_scoped(spark):
+    """ADVICE r12: only the columns the SELECTED mode writes are
+    reserved — exact mode must accept a caller's __band_hi/__band_lo
+    (it never writes them), banded must accept __simhash."""
+    from etl_work_flow_for_big_data_spark.streaming.windows import (
+        near_dedup_within_watermark,
+    )
+
+    banded_cols = spark.createDataFrame(
+        [(1, "x", "y", "z")],
+        "doc_id long, text string, __band_hi string, __band_lo string",
+    ).withColumn("ts", F.current_timestamp())
+    out = near_dedup_within_watermark(banded_cols, "text", mode="exact")
+    assert {"__band_hi", "__band_lo"} <= set(out.columns)
+    assert "__simhash" not in out.columns
+
+    sim_col = spark.createDataFrame(
+        [(1, "x", "y")], "doc_id long, text string, __simhash string"
+    ).withColumn("ts", F.current_timestamp())
+    out = near_dedup_within_watermark(sim_col, "text", mode="banded")
+    assert "__simhash" in out.columns
+    assert not {"__band_hi", "__band_lo"} & set(out.columns)
+
+    with pytest.raises(ValueError, match="__simhash"):
+        near_dedup_within_watermark(sim_col, "text", mode="exact")
