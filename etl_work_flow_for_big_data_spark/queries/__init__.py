@@ -95,8 +95,18 @@ def _tuned(fn):
 # queries.relational subquery_exists/subquery_scalar/tpch_q18
 # (VERDICT r12 #3: broadcast when the on-disk side is provably small,
 # merge otherwise — values unchanged, strategy changed: all four move
-# to FRONT slots, rule over trust). The 44-name debt block below is
-# CORRECTNESS_r11 minus CORRECTNESS_r12, verbatim.
+# to FRONT slots, rule over trust); (c) the persisted-IVF index cache
+# refactor (_cached_ivf_index: per-(variant, sf_dir) slot with
+# fingerprint eviction, ADVICE r12 — build-path change, so
+# sim_ivf_persisted / sim_ivf_persisted_nprobe / sim_ivf_trained take
+# FRONT slots again despite their r12 green); (d) sources.registry
+# write_jdbc sink + streaming.windows mode-scoped collision check —
+# pytest-covered surfaces with no batch oracle. The 44-name debt
+# block is CORRECTNESS_r11 minus CORRECTNESS_r12; 8 changed + 44 debt
+# = 52 > 50, so the TWO lowest-risk debt names (_DEBT_CARRY below:
+# pure-Catalyst set ops, code-untouched since r6, still locally
+# oracle-verified at sf0.001/0.01/x10 this round) carry to the r14
+# window — the unavoidable overflow the guard test budgets exactly.
 _CHECK_PRIORITY = [
     # -- engine changed / NEW in round 13 (see closing audit above)
     "dedup_embedding_ann",  # NEW in round 13 (ANN-candidate embedding dedup)
@@ -104,6 +114,9 @@ _CHECK_PRIORITY = [
     "subquery_exists",  # size-gated decorrelated-join hint
     "subquery_scalar",  # size-gated decorrelated-join hint
     "tpch_q18_large_orders",  # size-gated build-side hint
+    "sim_ivf_persisted",  # index-cache eviction refactor (build path)
+    "sim_ivf_persisted_nprobe",  # same cache slot, multi-probe branch
+    "sim_ivf_trained",  # same refactor, "trained" cache variant
     # -- rotation debt: last hard driver check round 11
     "agg_conditional",
     "agg_cube",
@@ -130,14 +143,12 @@ _CHECK_PRIORITY = [
     "profile_columns",
     "route_assign",
     "sample_quota",
-    "set_union",
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "sim_ivf_nprobe",
     "sim_ivf_topk",
     "sim_pairs",
     "sim_topk",
-    "sort_multi",
     "split_assign",
     "text_repetition",
     "text_scrub",
@@ -160,6 +171,15 @@ _CHECK_PRIORITY = [
 # guard reddened the suite the moment CORRECTNESS_r12.json landed).
 # Bump alongside every _CHECK_PRIORITY rewrite at round open.
 _PRIORITY_BASIS = (11, 12)
+
+# Debt names that do NOT fit the 50-slot driver window this round
+# (changed 8 + debt 44 = 52): the unavoidable overflow, chosen as the
+# lowest-risk members (single-operator pure-Catalyst set/sort queries,
+# code-untouched since r6, re-verified by the local sf0.001 parity
+# suite, the sf0.01 t2 sweep and the x10 sweep this round). These MUST
+# lead the r14 debt block — the guard test pins the overflow to
+# exactly this list.
+_DEBT_CARRY = ["set_union", "sort_multi"]
 
 
 def load_all() -> dict[str, QuerySpec]:

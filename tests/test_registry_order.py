@@ -12,6 +12,7 @@ import os
 
 from etl_work_flow_for_big_data_spark.queries import (
     _CHECK_PRIORITY,
+    _DEBT_CARRY,
     _PRIORITY_BASIS,
     load_all,
 )
@@ -19,16 +20,20 @@ from etl_work_flow_for_big_data_spark.queries import (
 # Round-13 changed set (manual — matches the closing audit in
 # queries/__init__.py): dedup_embedding_ann is NEW (LSH-bucketed
 # candidate generation → exact cosine verify → keep-lowest-id, the
-# scale-safe embedding-dedup path); the other four had their r12
-# unconditional merge hints replaced by the size-gated chooser
-# (catalog.maybe_merge) — broadcast when the on-disk side is provably
-# small, merge otherwise.
+# scale-safe embedding-dedup path); four had their r12 unconditional
+# merge hints replaced by the size-gated chooser (catalog.maybe_merge)
+# — broadcast when the on-disk side is provably small, merge
+# otherwise; the three persisted-IVF queries ride the index-cache
+# eviction refactor (_cached_ivf_index, ADVICE r12).
 CHANGED_THIS_ROUND = [
     "dedup_embedding_ann",  # NEW query this round
     "dedup_minhash",
     "subquery_exists",
     "subquery_scalar",
     "tpch_q18_large_orders",
+    "sim_ivf_persisted",
+    "sim_ivf_persisted_nprobe",
+    "sim_ivf_trained",
 ]
 
 DRIVER_WINDOW = 50
@@ -57,9 +62,11 @@ def _stale_keys() -> list[str]:
 
 def test_changed_queries_all_inside_the_50_slot_window():
     """Changed queries MUST be inside the driver window; debt must be
-    too, unless changed+debt simply cannot fit — then the window must
-    hold the changed set plus a maximal prefix of the debt (no wasted
-    slot), and the overflow carries to the next round's basis."""
+    too, unless changed+debt simply cannot fit — then the overflow is
+    bounded to exactly the unavoidable count AND pinned to the
+    explicitly-declared _DEBT_CARRY names (so the deferral is a
+    documented decision, not an accident), which must lead the next
+    round's debt block."""
     names = list(load_all())
     window = set(names[:DRIVER_WINDOW])
     debt = _stale_keys()
@@ -67,10 +74,13 @@ def test_changed_queries_all_inside_the_50_slot_window():
     assert not missing_changed, (
         f"changed queries outside the driver window: {missing_changed}")
     overflow_budget = max(0, len(CHANGED_THIS_ROUND) + len(debt) - DRIVER_WINDOW)
-    missing_debt = [n for n in debt if n not in window]
+    missing_debt = sorted(n for n in debt if n not in window)
     assert len(missing_debt) <= overflow_budget, (
         f"debt outside the window beyond the unavoidable overflow "
         f"({overflow_budget}): {missing_debt}")
+    assert set(missing_debt) <= set(_DEBT_CARRY), (
+        f"window overflow {missing_debt} is not the declared "
+        f"_DEBT_CARRY {_DEBT_CARRY}")
 
 
 def test_changed_queries_lead_the_priority_list():
@@ -83,11 +93,16 @@ def test_changed_queries_lead_the_priority_list():
 
 def test_priority_covers_the_pinned_debt():
     """Every debt name from the pinned basis pair appears in
-    _CHECK_PRIORITY (possibly beyond slot 50 when overflow is
-    unavoidable — the window test above bounds that)."""
+    _CHECK_PRIORITY, except the declared carry-overs (which must
+    themselves be genuine debt members — carrying a non-debt name
+    would be meaningless)."""
     listed = set(_CHECK_PRIORITY)
-    missing = [n for n in _stale_keys() if n not in listed]
+    debt = set(_stale_keys())
+    missing = sorted(debt - listed - set(_DEBT_CARRY))
     assert not missing, f"debt absent from _CHECK_PRIORITY: {missing}"
+    if debt:  # basis records present
+        stray = sorted(set(_DEBT_CARRY) - debt)
+        assert not stray, f"_DEBT_CARRY names are not debt: {stray}"
 
 
 def test_registry_order_follows_check_priority():
