@@ -299,6 +299,7 @@ def ann_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     corpus_rows: int | None = None,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets + exact
     cosine verify — the scale-safe counterpart of ``cosine_pairs``
@@ -320,6 +321,17 @@ def ann_near_dup_pairs(
     recall → 1, both preserving this operator's shape). The oracle
     mirrors the exact md5 hash family, so the candidate set — and
     therefore the result — is engine-independent, approximate or not.
+
+    ``multi_probe=True`` is the in-repo recall lever: the LEFT side of
+    the self-join fans out to its Hamming-1 probe set (base bucket +
+    each single-bit flip), so any pair whose signatures differ on at
+    most ONE plane becomes a candidate — recall rises to
+    P[Hamming ≤ 1] = s^p + p·s^(p-1)(1-s) for plane-agreement
+    probability s (≈2.3× the single-probe recall for cos 0.9 at 8
+    planes) at (p+1)× the join fan-out on one side only; the big
+    table's bucket index is untouched. Each qualifying pair matches
+    exactly one (probe, bucket) combination (the probe values of a
+    signature are pairwise distinct), so no dedup pass is needed.
 
     At 100 TB the lever is ``n_planes`` ≈ log2(corpus / target bucket
     size): bucket count scales with the corpus, keeping per-bucket
@@ -345,9 +357,17 @@ def ann_near_dup_pairs(
         corpus_rows is not None
         and corpus_rows * (dim * 16) <= BROADCAST_MAX_BYTES
     )
+    left = base
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        left = base.select("id", "v", F.explode(probes).alias("bucket"))
     if not small:
+        left = left.hint("merge")
         base = base.hint("merge")
-    x = base.alias("x")
+    x = left.alias("x")
     y = base.alias("y")
     return (
         x.join(

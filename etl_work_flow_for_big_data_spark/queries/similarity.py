@@ -225,6 +225,60 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_ann_h1",
+    f"""
+    WITH {_DUCK_VALID_EMB},
+    sig AS (
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket FROM v
+    ),
+    p AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id
+       AND bit_count(xor(a.bucket, b.bucket)) <= 1
+      WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.4
+    )
+    SELECT doc_id, lang, source
+    FROM documents WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM p)
+    ORDER BY doc_id
+    """,
+    doc="I2 embedding near-dup removal at Hamming-1 multi-probe (r13): "
+    "the recall lever on dedup_embedding_ann — the self-join's left "
+    "side fans out to its 9-bucket probe set (base + each single-bit "
+    "flip), so pairs whose 8-plane signatures differ on ≤1 plane are "
+    "candidates (~2.3× single-probe recall for cos-0.9 pairs) at 9× "
+    "join fan on ONE side; the corpus bucket index is untouched. The "
+    "oracle states the same candidate set declaratively "
+    "(bit_count(xor) <= 1) — an O(n²) predicate the oracle can afford "
+    "at check scale while the engine's probe-join shape is what runs "
+    "at 100 TB.",
+)
+def dedup_embedding_ann_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_work_flow_for_big_data_spark.catalog import table_row_count
+    from etl_work_flow_for_big_data_spark.functions.vectors import is_valid_embedding
+    from etl_work_flow_for_big_data_spark.operators.dedup import apply_near_dedup
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ann_near_dup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        is_valid_embedding(F.col("embedding"), dim=64)
+    )
+    try:
+        n = table_row_count(sf_dir, "embeddings")
+    except Exception:  # noqa: BLE001 — unstat-able ⇒ scale-safe merge
+        n = None
+    pairs = ann_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=8, dim=64,
+        corpus_rows=n, multi_probe=True,
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return apply_near_dedup(d, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
 _DUCK_QUANT = """
     qv AS (
       SELECT vec_id,

@@ -203,10 +203,19 @@ def test_dedup_embedding_ann_plan(spark, sf_dir):
     )
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.size("embedding") == 64)
-    pairs = ann_near_dup_pairs(e, "vec_id", "embedding", corpus_rows=None)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan, plan
-    assert "SortMergeJoin" in plan, plan
+    for probe in (False, True):
+        pairs = ann_near_dup_pairs(
+            e, "vec_id", "embedding", corpus_rows=None, multi_probe=probe
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (probe, plan)
+        assert "SortMergeJoin" in plan, (probe, plan)
+
+    # the h1 REGISTERED query shares the small-regime shape: hash
+    # join on the probe buckets, never a nested loop
+    plan = _plan(spark, sf_dir, "dedup_embedding_ann_h1")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_text_queries_no_extra_exchange(spark, sf_dir):
@@ -691,6 +700,9 @@ EXCHANGE_BUDGET = {
     # exchanges; the big-regime sort-merge form is pinned by
     # test_dedup_embedding_ann_plan
     "dedup_embedding_ann": 2,
+    # same plan shape — the Hamming-1 probe fan is a per-row explode
+    # on the already-broadcast/hinted left side, no extra shuffle
+    "dedup_embedding_ann_h1": 2,
     "sim_ivf_topk": 3,
     # sim_ivf_topk's 3 plus the probe-set union/distinct exchange
     # (query-side only; the corpus-side index path is unchanged)

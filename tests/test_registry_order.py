@@ -27,6 +27,7 @@ from etl_work_flow_for_big_data_spark.queries import (
 # eviction refactor (_cached_ivf_index, ADVICE r12).
 CHANGED_THIS_ROUND = [
     "dedup_embedding_ann",  # NEW query this round
+    "dedup_embedding_ann_h1",  # NEW query this round (multi-probe lever)
     "dedup_minhash",
     "subquery_exists",
     "subquery_scalar",

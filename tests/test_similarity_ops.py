@@ -257,7 +257,44 @@ def test_multiprobe_recall_superset(spark):
     assert len(m) > len(s)  # probing actually widened the net
 
 
-def test_ragged_leading_row_cannot_hijack_batch_dim(spark):
+def test_ann_near_dup_pairs_probe_lattice(spark):
+    """The dedup-pair family's containment lattice (r13): single-probe
+    ⊆ Hamming-1 multi-probe ⊆ exact all-pairs — every ANN pair is a
+    true pair (verify step is exact cosine), and widening the probe
+    set only ADDS pairs. Identical planted vectors share every plane,
+    so even single-probe must catch them."""
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        ann_near_dup_pairs,
+        cosine_pairs,
+    )
+
+    rows = [
+        (i, [float(((i * 7 + j * 3) % 13) - 6) for j in range(8)])
+        for i in range(80)
+    ]
+    rows.append((900, rows[5][1]))  # planted exact duplicate of id 5
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def pairs(**kw):
+        return {
+            (r["d1"], r["d2"])
+            for r in ann_near_dup_pairs(
+                df, "vec_id", "embedding", threshold=0.4, n_planes=8,
+                dim=8, **kw,
+            ).collect()
+        }
+
+    single = pairs()
+    h1 = pairs(multi_probe=True)
+    exact = {
+        (r["d1"], r["d2"])
+        for r in cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.4, dim=8
+        ).collect()
+    }
+    assert single <= h1 <= exact
+    assert (5, 900) in single  # identical vectors: same bucket, caught
+    assert len(h1) > len(single)  # probing actually widened the net
     """A corrupted (wrong-dimension) row must only degrade ITSELF.
 
     _as_matrix used to take the batch width from the first well-formed
