@@ -267,6 +267,35 @@ class TestKafka:
         with pytest.raises(ValueError, match="exactly one"):
             kafka_reader_options("b:9092", topic="a", pattern="b")
 
+    def test_broker_failover_delegation_surface(self):
+        """G6 broker failover (SURVEY §2): delegated to the connector's
+        bootstrap-list + reconnect machinery, which means OUR contract
+        is exactly (a) a multi-broker list passes through verbatim —
+        the client fails over across every listed host — and (b) the
+        kafka.* reconnect/retry tuning knobs ride the option map
+        untouched. Pinned here so the delegation surface can't silently
+        drop or mangle the failover configuration (the reference's
+        multi-host AMQP connection string, MFramework.cpp:1167-1184)."""
+        from etl_work_flow_for_big_data_spark.sources.registry import (
+            kafka_reader_options,
+        )
+
+        o = kafka_reader_options(
+            "b1:9092,b2:9092,b3:9092",
+            topic="cdr.in",
+            **{
+                "kafka.reconnect.backoff.ms": 50,
+                "kafka.reconnect.backoff.max.ms": 5000,
+                "kafka.socket.connection.setup.timeout.ms": 2000,
+                "failOnDataLoss": "false",
+            },
+        )
+        assert o["kafka.bootstrap.servers"] == "b1:9092,b2:9092,b3:9092"
+        assert o["kafka.reconnect.backoff.ms"] == "50"
+        assert o["kafka.reconnect.backoff.max.ms"] == "5000"
+        assert o["kafka.socket.connection.setup.timeout.ms"] == "2000"
+        assert o["failOnDataLoss"] == "false"
+
     def test_decode_chain_on_static_frame(self, spark):
         """kafka record schema → packets without a broker: the decode
         chain (value bytes → text → parse) is connector-independent."""
