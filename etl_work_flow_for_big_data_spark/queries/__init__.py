@@ -101,13 +101,15 @@ def _tuned(fn):
 # (_cached_ivf_index: per-(variant, sf_dir) slot with fingerprint
 # eviction, ADVICE r12 — build-path change, so sim_ivf_persisted /
 # sim_ivf_persisted_nprobe / sim_ivf_trained take FRONT slots again
-# despite their r12 green); (d) sources.registry write_jdbc sink +
-# streaming.windows mode-scoped collision check — pytest-covered
-# surfaces with no batch oracle. The debt block is CORRECTNESS_r11
-# minus CORRECTNESS_r12 (44 names); 9 changed + 44 debt = 53 > 50, so
-# the THREE lowest-risk debt names (_DEBT_CARRY below) carry to the
-# r14 window — the unavoidable overflow the guard test budgets
-# exactly.
+# despite their r12 green); (d) the NEW tpch_q21_waiting_suppliers
+# (sole-late double-decorrelation: EXISTS → semi-join, NOT EXISTS →
+# anti-join, all sides size-gated — front slot); (e) sources.registry
+# write_jdbc sink + streaming.windows mode-scoped collision check —
+# pytest-covered surfaces with no batch oracle. The debt block is
+# CORRECTNESS_r11 minus CORRECTNESS_r12 (44 names); 10 changed + 44
+# debt = 54 > 50, so the FOUR lowest-risk debt names (_DEBT_CARRY
+# below) carry to the r14 window — the unavoidable overflow the guard
+# test budgets exactly.
 _CHECK_PRIORITY = [
     # -- engine changed / NEW in round 13 (see closing audit above)
     "dedup_embedding_ann",  # NEW in round 13 (ANN-candidate embedding dedup)
@@ -116,6 +118,7 @@ _CHECK_PRIORITY = [
     "subquery_exists",  # size-gated decorrelated-join hint
     "subquery_scalar",  # size-gated decorrelated-join hint
     "tpch_q18_large_orders",  # size-gated build-side hint
+    "tpch_q21_waiting_suppliers",  # NEW in round 13 (sole-late decorrelation)
     "sim_ivf_persisted",  # index-cache eviction refactor (build path)
     "sim_ivf_persisted_nprobe",  # same cache slot, multi-probe branch
     "sim_ivf_trained",  # same refactor, "trained" cache variant
@@ -133,7 +136,6 @@ _CHECK_PRIORITY = [
     "dedup_embedding",
     "dq_validate",
     "join_anti",
-    "join_broadcast",
     "join_left",
     "join_range",
     "join_salted",
@@ -174,15 +176,17 @@ _CHECK_PRIORITY = [
 _PRIORITY_BASIS = (11, 12)
 
 # Debt names that do NOT fit the 50-slot driver window this round
-# (changed 9 + debt 44 = 53): the unavoidable overflow, chosen as the
-# lowest-risk members (set_union/sort_multi: single-operator
+# (changed 10 + debt 44 = 54): the unavoidable overflow, chosen as
+# the lowest-risk members (set_union/sort_multi: single-operator
 # pure-Catalyst set/sort queries, code-untouched since r6; topk:
 # plan-asserted TakeOrderedAndProject every pytest run AND the A/B
-# control measured interleaved every bench dispute). All three are
-# re-verified by the local sf0.001 parity suite, the sf0.01 t2 sweep
-# and the x10 sweep this round. These MUST lead the r14 debt block —
-# the guard test pins the overflow to exactly this list.
-_DEBT_CARRY = ["set_union", "sort_multi", "topk"]
+# control measured interleaved every bench dispute; join_broadcast:
+# its broadcast plan shape is independently pinned every pytest run
+# by test_join_broadcast_stays_broadcast). All four are re-verified
+# by the local sf0.001 parity suite, the sf0.01 t2 sweep and the x10
+# sweep this round. These MUST lead the r14 debt block — the guard
+# test pins the overflow to exactly this list.
+_DEBT_CARRY = ["set_union", "sort_multi", "topk", "join_broadcast"]
 
 
 def load_all() -> dict[str, QuerySpec]:

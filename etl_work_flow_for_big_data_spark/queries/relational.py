@@ -1268,6 +1268,96 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey AS ok, l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.sk
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.ok AND l2.l_suppkey <> l1.sk)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.ok = l1.ok AND l3.sk <> l1.sk)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (r13): suppliers who were the SOLE late "
+    "supplier on finished multi-supplier orders. The fixture carries "
+    "no l_receiptdate/l_commitdate, so lateness is l_shipdate > "
+    "o_orderdate + 60 days — the decorrelation structure (EXISTS "
+    "another supplier in the order AND NOT EXISTS another LATE "
+    "supplier) is the point: one semi-join + one anti-join, both "
+    "equi on orderkey with a supplier-inequality residual, never a "
+    "nested-loop. Count is per qualifying late LINE (the Q21 "
+    "contract); top-20 by numwait with the s_name tie-break.",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decorrelated form, same rules as subquery_exists (r12/r13): every
+    # corpus-derived join side goes through the size gate — lineitem
+    # bounds both the EXISTS probe and the late set; orders must not
+    # statically broadcast into the late derivation at scale (the x10
+    # loaded-driver OOM class lives exactly near that threshold).
+    l = load_table(spark, sf_dir, "lineitem")
+    o = maybe_merge(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        ),
+        sf_dir,
+        "orders",
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        l.join(o, l.l_orderkey == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+    )
+    others = maybe_merge(
+        l.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+        ),
+        sf_dir,
+        "lineitem",
+    )
+    late3 = maybe_merge(
+        late.select(F.col("ok").alias("ok3"), F.col("sk").alias("sk3")),
+        sf_dir,
+        "lineitem",  # late ⊆ lineitem: its footer count bounds the build
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            late3,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(
+            maybe_broadcast(s, sf_dir, "supplier"),
+            F.col("sk") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
     "merge_upsert",
     """
     WITH upd AS (

@@ -148,6 +148,19 @@ def test_dedup_minhash_big_regime_never_broadcasts_corpus(spark, sf_dir):
         assert plan.count("SortMergeJoin") >= 3, (rows, plan)
 
 
+def test_tpch_q21_plan(spark, sf_dir):
+    """Q21's double decorrelation must compile to hash/merge semi- and
+    anti-joins (equi on orderkey with the supplier-inequality as a
+    residual join condition) and a TakeOrderedAndProject top-20 —
+    never a nested loop, never a global sort."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_maybe_merge_gate_both_regimes(spark, sf_dir):
     """catalog.maybe_merge: provably small ⇒ unhinted (broadcast plan
     survives); big per-row price or unstat-able path ⇒ merge pin."""
@@ -682,6 +695,10 @@ EXCHANGE_BUDGET = {
     # so at fixture scale it broadcasts again; only the pre-aggregate
     # hash exchange remains
     "tpch_q18_large_orders": 1,
+    # Q21 shape (r13): late-set derivation + semi/anti probes
+    # broadcast at fixture scale (all sides size-gated); the 3
+    # exchanges are the groupBy + the two late-set branches
+    "tpch_q21_waiting_suppliers": 3,
     "merge_upsert": 1,
     "window_ntile": 3,
     "window_range_frame": 1,

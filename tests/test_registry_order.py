@@ -32,6 +32,7 @@ CHANGED_THIS_ROUND = [
     "subquery_exists",
     "subquery_scalar",
     "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",  # NEW query this round
     "sim_ivf_persisted",
     "sim_ivf_persisted_nprobe",
     "sim_ivf_trained",
