@@ -73,7 +73,9 @@ def is_valid_embedding(a: Column, dim: int | None = None) -> Column:
     return ok
 
 
-def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column:
+def lsh_hyperplane_sig(
+    vec_sql: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature (int bucket id)
     for the vector column named by ``vec_sql``.
 
@@ -82,6 +84,14 @@ def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column
     mirroring the formula computes identical buckets. Bit p of the
     signature is set iff the projection of ``vec`` onto plane p is
     ≥ 0. Cosine-preserving: near vectors collide with high probability.
+
+    ``plane_offset`` selects an INDEPENDENT hash family from the same
+    md5 stream (planes ``offset .. offset+n_planes-1``): table t of an
+    L-table LSH uses ``offset = t * n_planes``, giving L families that
+    are deterministic, non-overlapping, and mirrorable by any engine
+    that follows the same formula. Bit positions inside the signature
+    stay 0-based regardless of offset, so every table yields a
+    comparable ``[0, 2^planes)`` bucket id.
 
     DuckDB mirror: same double-precision left-to-right fold with
     ``CAST('0x' || substring(md5(p || '_' || i), 1, 4) AS INT)``.
@@ -99,7 +109,7 @@ def lsh_hyperplane_sig(vec_sql: str, n_planes: int = 8, dim: int = 64) -> Column
 
     weights = ", ".join(
         "array(" + ", ".join(str(w(p, i)) for i in range(1, dim + 1)) + ")"
-        for p in range(n_planes)
+        for p in range(plane_offset, plane_offset + n_planes)
     )
     return F.expr(
         f"""

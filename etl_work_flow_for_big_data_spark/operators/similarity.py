@@ -300,6 +300,7 @@ def ann_near_dup_pairs(
     dim: int = 64,
     corpus_rows: int | None = None,
     multi_probe: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets + exact
     cosine verify — the scale-safe counterpart of ``cosine_pairs``
@@ -333,6 +334,17 @@ def ann_near_dup_pairs(
     exactly one (probe, bucket) combination (the probe values of a
     signature are pairwise distinct), so no dedup pass is needed.
 
+    ``n_tables`` is the OTHER standard recall lever: L independent
+    hash families (table t uses md5 planes ``t·p .. t·p+p-1`` —
+    deterministic and engine-mirrorable like table 0), candidates =
+    the union of per-table bucket matches, recall = 1-(1-s^p)^L. A
+    pair can meet in several tables, so the multi-table branch
+    deduplicates the (bit-identical) verified rows with one distinct;
+    join fan-out is L× on both sides (each row carries one (table,
+    bucket) key per table — posexplode, still O(n·L) shuffle rows,
+    never all-pairs). Composes with ``multi_probe`` (probes fan each
+    table's bucket).
+
     At 100 TB the lever is ``n_planes`` ≈ log2(corpus / target bucket
     size): bucket count scales with the corpus, keeping per-bucket
     pair work constant. The self-join never broadcasts unless
@@ -342,7 +354,8 @@ def ann_near_dup_pairs(
     """
     from etl_work_flow_for_big_data_spark.catalog import BROADCAST_MAX_BYTES
 
-    sig = lsh_hyperplane_sig(vec_col, n_planes, dim)
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     # persist: the signature projection feeds BOTH sides of the
     # self-join; without it Spark recomputes the 8×64 interpreted
     # plane fold per branch — measured 1.6× slower at sf0.1
@@ -350,9 +363,31 @@ def ann_near_dup_pairs(
     # as minhash_lsh_pairs: the JVM ContextCleaner frees it once the
     # returned plan is garbage-collected; MEMORY_AND_DISK spills at
     # corpus scale rather than OOMs.
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket")
-    ).persist()
+    if n_tables == 1:
+        sig = lsh_hyperplane_sig(vec_col, n_planes, dim)
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            sig.alias("bucket"),
+        ).persist()
+    else:
+        sigs = F.array(
+            *[
+                lsh_hyperplane_sig(vec_col, n_planes, dim, plane_offset=t * n_planes)
+                for t in range(n_tables)
+            ]
+        )
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                sigs.alias("__sigs"),
+            )
+            .select(
+                "id", "v", F.posexplode("__sigs").alias("tbl", "bucket")
+            )
+            .persist()
+        )
     small = (
         corpus_rows is not None
         and corpus_rows * (dim * 16) <= BROADCAST_MAX_BYTES
@@ -363,18 +398,20 @@ def ann_near_dup_pairs(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
         )
-        left = base.select("id", "v", F.explode(probes).alias("bucket"))
+        keep = ["id", "v"] + (["tbl"] if n_tables > 1 else [])
+        left = base.select(*keep, F.explode(probes).alias("bucket"))
     if not small:
         left = left.hint("merge")
         base = base.hint("merge")
     x = left.alias("x")
     y = base.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
+    cond = (F.col("x.bucket") == F.col("y.bucket")) & (
+        F.col("x.id") < F.col("y.id")
+    )
+    if n_tables > 1:
+        cond = cond & (F.col("x.tbl") == F.col("y.tbl"))
+    out = (
+        x.join(y, cond)
         .withColumn("cos_sim", F.round(cosine(F.col("x.v"), F.col("y.v")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select(
@@ -383,6 +420,12 @@ def ann_near_dup_pairs(
             "cos_sim",
         )
     )
+    if n_tables > 1:
+        # a pair meeting in several tables produces bit-identical rows
+        # (cos_sim is a pure function of the pair) — distinct is
+        # deterministic, same rationale as ann_lsh_topk's multi-probe
+        out = out.distinct()
+    return out
 
 
 def kmeans_refine(

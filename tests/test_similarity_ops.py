@@ -286,6 +286,8 @@ def test_ann_near_dup_pairs_probe_lattice(spark):
 
     single = pairs()
     h1 = pairs(multi_probe=True)
+    l2 = pairs(n_tables=2)
+    l4 = pairs(n_tables=4)
     exact = {
         (r["d1"], r["d2"])
         for r in cosine_pairs(
@@ -293,8 +295,13 @@ def test_ann_near_dup_pairs_probe_lattice(spark):
         ).collect()
     }
     assert single <= h1 <= exact
+    # L-tables lever: table 0 of every L-table family IS the
+    # single-table family, so candidates grow monotonically with L
+    # and stay inside the exact set
+    assert single <= l2 <= l4 <= exact
     assert (5, 900) in single  # identical vectors: same bucket, caught
     assert len(h1) > len(single)  # probing actually widened the net
+    assert len(l4) > len(single)  # extra tables actually widened the net
     """A corrupted (wrong-dimension) row must only degrade ITSELF.
 
     _as_matrix used to take the batch width from the first well-formed
