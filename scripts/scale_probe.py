@@ -81,6 +81,8 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_multiprobe",
     "ts_gapfill",
+    "dedup_embedding_ann",  # r13: registered embedding-dedup scale path
+    "tpch_q21_waiting_suppliers",  # r13: double-decorrelation shape
 ]
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 _VOWS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio", "aeiou"[::-1], "eioua"[::-1], "iouae"[::-1]]
