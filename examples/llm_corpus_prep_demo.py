@@ -32,6 +32,7 @@ from etl_work_flow_for_big_data_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from etl_work_flow_for_big_data_spark.operators.similarity import (
+    ann_near_dup_pairs,
     ivf_topk,
     kmeans_inertia,
     kmeans_refine,
@@ -68,6 +69,15 @@ def main() -> None:
     clean = apply_near_dedup(uniq, pairs, "doc_id")
     print(f"after near-dup removal: {clean.count()}")
 
+    # 3b. SEMANTIC near-dup removal over the embeddings (r13): LSH
+    #     bucket candidates -> exact cosine verify -> keep-lowest-id;
+    #     n_tables / multi_probe are the measured recall levers
+    sem_pairs = ann_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, n_tables=2
+    )
+    semantic = apply_near_dedup(clean, sem_pairs, "doc_id")
+    print(f"after semantic (embedding) near-dup removal: {semantic.count()}")
+
     # 4. similarity search over embeddings — exact baseline, then IVF
     #    with k-means-refined centroids
     queries = emb.filter(F.col("vec_id") < 3)
@@ -92,7 +102,7 @@ def main() -> None:
     ivf.show()
 
     # 5. multimodal features — Arrow-batched mapInPandas over binary
-    media = attach_binary(clean.limit(100), "text")
+    media = attach_binary(semantic.limit(100), "text")
     feats = extract_features(media, "doc_id")
     print("feature extraction sample:")
     feats.show(3, truncate=False)
