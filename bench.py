@@ -176,6 +176,26 @@ def main() -> None:
             "n": len(shared),
             "excluded": sorted(excl & set(timings)),
         }
+    # Round-over-round signal on the COMMON query set (VERDICT r13
+    # #8): the raw total moves every time coverage widens (BENCH_r13's
+    # 110.8 s read as a regression but 12.3 s of it was 3 new
+    # queries), so the record carries the common-set total vs the
+    # prior committed record as a first-class field — plus what the
+    # queries absent from the prior record (new coverage) cost.
+    common = [(timings[q], prior[q]) for q in timings if prior.get(q)]
+    if common:
+        now_total = sum(now for now, _ in common)
+        prior_total = sum(ref for _, ref in common)
+        new_qs = sorted(q for q in timings if not prior.get(q))
+        out["common_total_vs_prior"] = {
+            "now_sec": round(now_total, 3),
+            "prior_sec": round(prior_total, 3),
+            "ratio": round(now_total / prior_total, 3),
+            "n_common": len(common),
+            "new_queries": new_qs,
+            "new_queries_sec": round(
+                sum(timings[q] for q in new_qs), 3),
+        }
     if med3:
         out["med3"] = med3
     if noise_band:
@@ -244,6 +264,8 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "drift_geomean": out.get("drift", {}).get("geomean_vs_prior"),
+        "common_total_vs_prior": out.get(
+            "common_total_vs_prior", {}).get("ratio"),
         "slowest5": slowest,
         "full_record": "BENCH_LOCAL.json",
     }

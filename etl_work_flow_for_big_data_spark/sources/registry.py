@@ -626,12 +626,24 @@ def write_jdbc(
             .mode(mode)
             .save()
         )
-    except Exception as exc:  # driver missing / bad URL — explain
-        raise RuntimeError(
-            "jdbc sink needs a JDBC driver jar on the Spark classpath "
-            "(spark.jars) plus url/dbtable; underlying error: "
-            f"{exc}"
-        ) from exc
+    except Exception as exc:
+        # Only rewrap when the failure actually smells like driver
+        # resolution: a blanket "you are missing the driver jar"
+        # message would misdiagnose constraint violations, auth
+        # failures and type mismatches (ADVICE r13). Everything else
+        # propagates untouched — the JDBC error text is the useful
+        # part.
+        msg = f"{type(exc).__name__}: {exc}"
+        if any(k in msg for k in (
+                "ClassNotFound", "No suitable driver",
+                "CANNOT_FIND_JDBC_DRIVER", "driverClass")):
+            raise RuntimeError(
+                "jdbc sink could not resolve a JDBC driver for "
+                f"{url!r}: put the driver jar on the Spark classpath "
+                "(spark.jars) or pass driver=<class> in opts; "
+                f"underlying error: {exc}"
+            ) from exc
+        raise
 
 
 SINKS.register(

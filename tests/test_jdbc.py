@@ -100,8 +100,22 @@ def test_jdbc_sink_clear_error_without_driver(spark):
     from etl_work_flow_for_big_data_spark.sources.registry import write_jdbc
 
     df = spark.range(1)
-    with pytest.raises(RuntimeError, match="jdbc sink needs a JDBC driver"):
+    with pytest.raises(RuntimeError, match="could not resolve a JDBC driver"):
         write_jdbc(df, "jdbc:nosuchdb://nowhere", '"t"')
+
+
+def test_jdbc_sink_real_write_failures_not_misdiagnosed(spark, derby_url):
+    """A failure that is NOT driver resolution (here: the target table
+    does not exist and Derby rejects the CREATE on a malformed name)
+    must propagate the database's own error, not a rewrapped
+    'missing driver jar' message (ADVICE r13)."""
+    df = spark.range(1)
+    from etl_work_flow_for_big_data_spark.sources.registry import write_jdbc
+
+    with pytest.raises(Exception) as ei:
+        # invalid identifier → Derby syntax error at CREATE TABLE time
+        write_jdbc(df, derby_url, '"bad table!!" ("')
+    assert "could not resolve a JDBC driver" not in str(ei.value)
 
 
 def test_jdbc_query_pushdown(spark, derby_url):

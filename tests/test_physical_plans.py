@@ -262,10 +262,16 @@ def test_pipeline_utility_plans(spark, sf_dir):
         ("mix_weighted", 0),
         ("pack_sequences", 1),
         ("pack_sequences_bucketed", 1),
-        ("route_assign", 1),
+        ("route_assign", 0),
     ):
         plan = _plan(spark, sf_dir, name)
         assert plan.count("Exchange") <= max_ex, f"{name}:\n{plan}"
+    # r14 (VERDICT r13 #3): route_assign must be pure map — the r13
+    # per-route row_number planned a partition-per-route sort, i.e.
+    # each route's ENTIRE history through one task. The hash slot
+    # needs no Window and no Sort at all.
+    plan = _plan(spark, sf_dir, "route_assign")
+    assert "Window" not in plan and "Sort" not in plan, plan
 
 
 def test_llm_clean_corpus_join_discipline(spark, sf_dir):
@@ -651,7 +657,7 @@ EXCHANGE_BUDGET = {
     "mm_decode": 0,
     "pack_sequences": 1,
     "pack_sequences_bucketed": 1,
-    "route_assign": 1,
+    "route_assign": 0,
     "sim_ann_lsh": 1,
     "sim_ann_multiprobe": 2,
     "split_assign": 0,

@@ -17,25 +17,19 @@ from etl_work_flow_for_big_data_spark.queries import (
     load_all,
 )
 
-# Round-13 changed set (manual — matches the closing audit in
-# queries/__init__.py): dedup_embedding_ann is NEW (LSH-bucketed
-# candidate generation → exact cosine verify → keep-lowest-id, the
-# scale-safe embedding-dedup path); four had their r12 unconditional
-# merge hints replaced by the size-gated chooser (catalog.maybe_merge)
-# — broadcast when the on-disk side is provably small, merge
-# otherwise; the three persisted-IVF queries ride the index-cache
-# eviction refactor (_cached_ivf_index, ADVICE r12).
+# Round-14 changed set (manual — matches the closing audit in
+# queries/__init__.py): the two ANN-dedup queries now derive n_planes
+# from the corpus footer row count (engine AND oracle changed — the
+# _DUCK_NP params CTE mirrors the bit-length derivation) and carry the
+# fan-out-aware broadcast pricing (ADVICE r13); route_assign's
+# per-route row_number funnel became a deterministic md5-prefix hash
+# slot (VERDICT r13 #3 — engine AND oracle changed).
+# dedup_minhash/dedup_ngram were re-MEASURED this round (BENCH_AB)
+# but their code is untouched — measurement is not change.
 CHANGED_THIS_ROUND = [
-    "dedup_embedding_ann",  # NEW query this round
-    "dedup_embedding_ann_h1",  # NEW query this round (multi-probe lever)
-    "dedup_minhash",
-    "subquery_exists",
-    "subquery_scalar",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",  # NEW query this round
-    "sim_ivf_persisted",
-    "sim_ivf_persisted_nprobe",
-    "sim_ivf_trained",
+    "dedup_embedding_ann",
+    "dedup_embedding_ann_h1",
+    "route_assign",
 ]
 
 DRIVER_WINDOW = 50

@@ -302,6 +302,9 @@ def test_ann_near_dup_pairs_probe_lattice(spark):
     assert (5, 900) in single  # identical vectors: same bucket, caught
     assert len(h1) > len(single)  # probing actually widened the net
     assert len(l4) > len(single)  # extra tables actually widened the net
+
+
+def test_ragged_leading_row_cannot_hijack_batch_dim(spark):
     """A corrupted (wrong-dimension) row must only degrade ITSELF.
 
     _as_matrix used to take the batch width from the first well-formed
@@ -313,6 +316,10 @@ def test_ann_near_dup_pairs_probe_lattice(spark):
     becomes the NaN row, never the dim-setter. coalesce(1) forces all
     rows into ONE batch with the ragged row first (ids ascending), the
     exact hijack layout."""
+    from etl_work_flow_for_big_data_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
     rows = [
         (0, [1.0, 0.0, 0.0]),  # ragged: corpus is 2-dim
         (1, [1.0, 1.0]),
