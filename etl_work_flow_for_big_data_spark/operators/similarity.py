@@ -351,6 +351,20 @@ def ann_near_dup_pairs(
     ``corpus_rows`` (parquet-footer count) proves the whole vector
     table is dim-sized — same size-gated merge rule as
     minhash_lsh_pairs, ~1 KiB per 64-dim row.
+
+    Choosing the recall lever (measured, r14 — planted-duplicate
+    probe at threshold 0.9 on the 32k decorrelated corpus,
+    docs/ann_dedup_recall_hi_r14.json): ``n_tables`` buys more recall
+    per verified candidate than ``multi_probe`` at every plane count
+    (8 planes: L=4 → 0.87 recall @ 11M candidates vs probe → 0.81 @
+    23M; 12 planes: 0.72 @ 0.9M vs 0.66 @ 2.6M), so for this batch
+    self-join family default to ``n_tables=4``. ``multi_probe``'s
+    niche is index economy — ONE stored corpus index with fan-out
+    only on the probe side — which matters when serving a persisted
+    index, not here. The best measured recall-per-candidate
+    composition is scaled planes + ``multi_probe`` + ``n_tables=2``
+    (12 planes: 0.85 @ 5.2M). Measured recall matches the closed-form
+    P[caught] above to ±0.02, so extrapolate with the formula.
     """
     from etl_work_flow_for_big_data_spark.catalog import BROADCAST_MAX_BYTES
 
