@@ -170,6 +170,25 @@ def ngram_jaccard_pairs(
       materialize a df-sized array in one aggregation buffer — the
       exact skew/OOM the bound exists to prevent.
 
+      r14 single-pass sizes: the combinations explode additionally
+      emits ONE SELF-PAIR (d, d) per posting-list member, so the same
+      (d1, d2) count aggregate yields both the intersection counts
+      (d1 < d2 rows) and each doc's kept-shingle count (the (d, d)
+      row counts one occurrence per posting list containing d —
+      identical to the former ``explode(ids) → groupBy(id).count``).
+      Before r14 ``sizes`` was a second aggregation over ``grouped``,
+      and its two join aliases (na, nb) plus ``inter`` made Catalyst
+      re-derive the full scan→explode→shuffle(sh)→window→collect_list
+      pipeline THREE times per query (plan-verified; AQE exchange
+      reuse only dedupes up to the first exchange). Measured med-of-5
+      interleaved, sf0.1: pairs-only 1.88 s → 1.00 s; identical rows.
+      The counted aggregate is persisted for its three consumers —
+      it is candidate-pair-sized (≤ max_df·|index| + one row per doc,
+      far below the index itself), MEMORY_AND_DISK, freed by the
+      ContextCleaner like the minhash signature table. Self-pair rows
+      add one row per index incidence to the explode, but map-side
+      partial aggregation collapses them before the shuffle.
+
       Two rejected-by-measurement alternatives (med-of-5, interleaved
       in one session, sf0.1): (a) a broadcast stop-shingle blocklist
       (``groupBy(sh).count.filter(> max_df)`` → broadcast left_anti →
@@ -193,10 +212,11 @@ def ngram_jaccard_pairs(
       explode would materialize a hot shingle's df² pairs in one
       task).
 
-    Nothing is persisted: every branch's lineage above the final joins
-    is scan→explode→one shuffle, cheaper to recompute than to
-    materialize (measured at sf0.1; at larger corpora persist the
-    INPUT df, not the index).
+    Persistence: only the bounded path's candidate-count aggregate is
+    persisted (pair-sized, never the index — see the bounded-strategy
+    note above); the index lineage itself is scan→explode→one shuffle,
+    cheaper to recompute than to materialize (measured at sf0.1; at
+    larger corpora persist the INPUT df, not the index).
     """
     idx = shingle_index(df, text_col, id_col, k)
     if max_df is not None:
@@ -209,22 +229,29 @@ def ngram_jaccard_pairs(
             .groupBy("sh")
             .agg(F.collect_list("id").alias("ids"))
         )
-        # all i<j combinations of the (distinct-per-doc) posting list;
-        # least/greatest canonicalizes to d1 < d2
+        # all i<j combinations of the (distinct-per-doc) posting list
+        # (least/greatest canonicalizes to d1 < d2) PLUS one (x, x)
+        # self-pair per member: the single (d1, d2) count below then
+        # yields intersection counts AND per-doc kept-shingle counts
+        # from one pipeline (see the bounded-strategy docstring)
         pairs = grouped.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ids, (x, i) -> "
+                    "concat(array(struct(x as d1, x as d2)), "
                     "transform(slice(ids, i + 2, size(ids) - i - 1), y -> "
-                    "struct(least(x, y) as d1, greatest(x, y) as d2))))"
+                    "struct(least(x, y) as d1, greatest(x, y) as d2)))))"
                 )
             ).alias("p")
         ).select("p.*")
-        inter = pairs.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("inter"))
-        sizes = (
-            grouped.select(F.explode("ids").alias("id"))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("n_sh"))
+        counted = (
+            pairs.groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .persist()
+        )
+        inter = counted.filter(F.col("d1") != F.col("d2"))
+        sizes = counted.filter(F.col("d1") == F.col("d2")).select(
+            F.col("d1").alias("id"), F.col("inter").alias("n_sh")
         )
     else:
         sizes = idx.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
