@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 from etl_work_flow_for_big_data_spark.functions.vectors import (
     cosine,
+    dot,
     lsh_hyperplane_sig,
+    norm_sq,
 )
 
 
@@ -377,11 +379,19 @@ def ann_near_dup_pairs(
     # as minhash_lsh_pairs: the JVM ContextCleaner frees it once the
     # returned plan is garbage-collected; MEMORY_AND_DISK spills at
     # corpus scale rather than OOMs.
+    # nsq: each row's self-dot is computed ONCE here and persisted with
+    # the signature (r14). The verify cosine below then pays one
+    # interpreted 64-dim fold per candidate pair (the cross dot)
+    # instead of three — the two norm folds were being recomputed per
+    # PAIR (~candidates/rows times per row; 45k candidates at sf0.1).
+    # Bit-identical: norm_sq over the same row is the same double, so
+    # try_divide(dot, sqrt(nsq_x*nsq_y)) reproduces cosine() exactly.
     if n_tables == 1:
         sig = lsh_hyperplane_sig(vec_col, n_planes, dim)
         base = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
+            norm_sq(F.col(vec_col)).alias("nsq"),
             sig.alias("bucket"),
         ).persist()
     else:
@@ -395,10 +405,11 @@ def ann_near_dup_pairs(
             df.select(
                 F.col(id_col).alias("id"),
                 F.col(vec_col).alias("v"),
+                norm_sq(F.col(vec_col)).alias("nsq"),
                 sigs.alias("__sigs"),
             )
             .select(
-                "id", "v", F.posexplode("__sigs").alias("tbl", "bucket")
+                "id", "v", "nsq", F.posexplode("__sigs").alias("tbl", "bucket")
             )
             .persist()
         )
@@ -418,7 +429,7 @@ def ann_near_dup_pairs(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
         )
-        keep = ["id", "v"] + (["tbl"] if n_tables > 1 else [])
+        keep = ["id", "v", "nsq"] + (["tbl"] if n_tables > 1 else [])
         left = base.select(*keep, F.explode(probes).alias("bucket"))
     if not small:
         left = left.hint("merge")
@@ -432,7 +443,16 @@ def ann_near_dup_pairs(
         cond = cond & (F.col("x.tbl") == F.col("y.tbl"))
     out = (
         x.join(y, cond)
-        .withColumn("cos_sim", F.round(cosine(F.col("x.v"), F.col("y.v")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(
+                    dot(F.col("x.v"), F.col("y.v")),
+                    F.sqrt(F.col("x.nsq") * F.col("y.nsq")),
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select(
             F.col("x.id").alias("d1"),
