@@ -643,15 +643,40 @@ def ivf_topk(
     centroids, mode, scored, assigned = _ivf_scored_assign(
         df, id_col, vec_col, n_centroids, kmeans_iters
     )
+    # persist: `assigned` feeds BOTH sides of the cluster equi-join (q
+    # and c derive from `vecs`); without it the full-corpus kernel
+    # pass + assignment window re-planned per side (2 MapInPandas
+    # nodes at nprobe=1, 3 at nprobe=2 — plan-verified, r14). The
+    # persisted frame is (id, cluster) — two narrow columns per corpus
+    # row, the in-memory inverted file; ContextCleaner releases it
+    # like every other operator persist here.
+    assigned = assigned.persist()
     w_assign = _ivf_assign_window()
     vecs = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
     if nprobe > 1:
         # top-nprobe clusters per query by centroid cosine, UNION the
         # assigned cluster (identical at iters>0; at iters=0 a query
         # that IS a centroid owns its cluster by convention while its
-        # self-score is excluded from `scored`)
+        # self-score is excluded from `scored`). r14: scored per-row
+        # values are independent rows, so the query-side ranking is
+        # computed from a kernel pass over ONLY the query rows —
+        # filtering d1 AFTER the kernel cannot push through the opaque
+        # mapInPandas, so `scored.filter(d1.isin(...))` re-ran the
+        # full-corpus pass just to rank 5 queries (bit-identical rows
+        # either way; the corpus-wide `scored` still feeds assignment).
+        from etl_work_flow_for_big_data_spark.functions.kernels import (
+            pairwise_cosine,
+        )
+
+        q_scored = pairwise_cosine(
+            df.filter(F.col(id_col).isin(query_ids)),
+            id_col,
+            vec_col,
+            centroids,
+            mode=mode,
+        )
         probes = (
-            scored.filter(F.col("d1").isin(query_ids))
+            q_scored
             .withColumn("__rn", F.row_number().over(w_assign))
             .filter(F.col("__rn") <= nprobe)
             .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
