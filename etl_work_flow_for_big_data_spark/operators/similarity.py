@@ -495,14 +495,7 @@ def kmeans_refine(
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for _ in range(iters):
         scored = pairwise_cosine(vecs, "id", "v", centroids, mode="full")
-        w = Window.partitionBy("d1").orderBy(
-            F.desc(F.round("cos_raw", 6)), F.asc("d2")
-        )
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(F.col("d1").alias("id"), F.col("d2").alias("cluster"))
-        )
+        assigned = _argmax_assign(scored, "id")
         means = (
             vecs.join(assigned, "id")
             .select("cluster", F.posexplode("v").alias("pos", "val"))
@@ -547,12 +540,44 @@ def kmeans_inertia(
 
 
 def _ivf_assign_window():
-    """Deterministic nearest-centroid ranking shared by assignment and
-    probe selection: rounded cosine desc, centroid id asc on ties —
-    engine-independent (the oracle mirrors it exactly). Built lazily:
-    classic Window construction needs an active session."""
+    """Deterministic nearest-centroid ranking for PROBE selection
+    (top-nprobe per query — genuinely top-N, and only ever applied to
+    the dim-table-sized query side): rounded cosine desc, centroid id
+    asc on ties — engine-independent (the oracle mirrors it exactly).
+    Built lazily: classic Window construction needs an active session.
+    Single-winner ASSIGNMENT uses :func:`_argmax_assign` instead."""
     return Window.partitionBy("d1").orderBy(
         F.desc(F.round("cos_raw", 6)), F.asc("d2")
+    )
+
+
+def _argmax_assign(scored: DataFrame, out_id_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a map-side-aggregating argmax —
+    ``max(struct(round(cos,6), -d2))`` picks exactly the row the
+    rn=1 window over :func:`_ivf_assign_window` picked (higher rounded
+    cosine wins; ties break to the SMALLER centroid id via the negated
+    field; NaN cosines sort greatest under both forms — equality
+    verified row-for-row at sf0.1, r14).
+
+    Why not the window (guide §2.3, aggregate before you shuffle): the
+    scored frame is corpus × centroids rows, and a window must shuffle
+    and SORT all of them by d1; the groupBy argmax partial-aggregates
+    per map task, so only ~one row per (task, key) crosses the wire —
+    at 2B docs × 1k centroids that is the difference between shuffling
+    2T rows and 2B. Returns (out_id_col, cluster)."""
+    return (
+        scored.groupBy("d1")
+        .agg(
+            F.max(
+                F.struct(
+                    F.round("cos_raw", 6).alias("c"),
+                    (-F.col("d2")).alias("nd2"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("d1").alias(out_id_col), (-F.col("m.nd2")).alias("cluster")
+        )
     )
 
 
@@ -584,11 +609,7 @@ def _ivf_scored_assign(
         centroids = kmeans_refine(df, id_col, vec_col, centroids, kmeans_iters)
     mode = "full" if kmeans_iters else "all"
     scored = pairwise_cosine(df, id_col, vec_col, centroids, mode=mode)
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(_ivf_assign_window()))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
-    )
+    assigned = _argmax_assign(scored, id_col)
     if not kmeans_iters:
         # unrefined centroids are data rows scored in 'all' mode (self
         # excluded): nearest non-self wins above, but a centroid
@@ -947,11 +968,7 @@ def ivf_query(
     meta, centroids = _read_sidecars(spark, index_path)
     q_src = queries.select(F.col(id_col), F.col(vec_col))
     scored = pairwise_cosine(q_src, id_col, vec_col, centroids, mode=meta["mode"])
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(_ivf_assign_window()))
-        .filter(F.col("__rn") == 1)
-        .select(F.col("d1").alias(id_col), F.col("d2").alias("cluster"))
-    )
+    assigned = _argmax_assign(scored, id_col)
     if not meta["kmeans_iters"]:
         # the build's centroid-owns-itself convention (see
         # _ivf_scored_assign) — recomputed, not joined from postings,
