@@ -103,6 +103,10 @@ def main() -> None:
         prior = {}
 
     def _run_once(spec) -> float:
+        # label the jobs (guide §1.5) so a Spark UI / event log attached
+        # to a bench run attributes stages to queries; zero-cost when
+        # the UI is off
+        spark.sparkContext.setJobDescription(f"bench:{spec.name}")
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0

@@ -654,7 +654,14 @@ def ivf_topk(
 
     Scale shape: centroid assignment is one kernel pass (O(n·c));
     search is an equi-join on cluster id, scoring O(n·q·nprobe/c) in
-    expectation — the inverted-file trade. Deterministic end-to-end at
+    expectation — the inverted-file trade. The assignment is persisted
+    (r14) because both join sides consume it; a consequence is that
+    REPEATED calls in one session reuse the materialized assignment
+    through Spark's CacheManager (the subtree is identical — query ids
+    don't feed it), so in-session re-runs measure amortized cost, same
+    as every persisted intermediate here; a fresh process recomputes
+    from parquet. scripts/ivf_amortize.py clears the cache between its
+    one-shot batches to keep measuring true one-shot semantics. Deterministic end-to-end at
     iters=0: ties in assignment break on centroid id, ranking on
     rounded cosine + candidate id.
     Returns (q_vec_id, rank, c_vec_id, cos_sim).

@@ -111,6 +111,16 @@ def main() -> None:
 
         one_shot = []
         for ids in batches:
+            # r14: ivf_topk persists its assignment, and Spark's
+            # CacheManager matches the IDENTICAL assignment subtree
+            # across calls (query ids don't feed it) — so consecutive
+            # in-session "one-shot" calls would silently amortize and
+            # this cell would no longer measure one-shot semantics.
+            # Clearing the cache restores the contract: each batch
+            # pays the full corpus assignment pass, as a fresh
+            # process/session would. (The checkpointed `e` replica is
+            # an RDD checkpoint, not a cache entry — unaffected.)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             _noop(ivf_topk(e, ids, "vec_id", "embedding",
                            n_centroids=16, k=5))
