@@ -86,79 +86,76 @@ def _tuned(fn):
 # fixtures every round. NEW/CHANGED queries must be added to the
 # front to receive a slot.
 #
-# ROUND-14 ROTATION (VERDICT r13 #4 + closing audit): the round diff
-# touches engine/oracle surfaces via (a) corpus-scaled n_planes in the
-# registered ANN-dedup queries (dedup_embedding_ann[_h1]: n_planes =
-# clamp(bit_length(footer_rows // 4), 8, 24), oracle mirrored by the
-# _DUCK_NP params CTE; plus the ADVICE r13 fan-out-aware broadcast
-# pricing in ann_near_dup_pairs) — both move to FRONT slots; (b)
-# route_assign's per-route row_number funnel replaced by a
-# deterministic md5-prefix hash slot (VERDICT r13 #3) — engine AND
-# oracle changed, FRONT slot. dedup_minhash/dedup_ngram were
-# re-MEASURED this round (BENCH_AB.json, docs/minhash_regime_ab_r14.
-# json) but their code paths are untouched and both are r13/r12
-# hash-green — measurement is not change. Then the FOUR r11 carries
-# VERDICT r13 #4 orders to lead the debt block (their last hard check
-# is r11 — invisible to the r12/r13 basis-derived debt, hence named
-# explicitly), then the 43-name rotation debt (CORRECTNESS_r12 minus
-# CORRECTNESS_r13, pinned by _PRIORITY_BASIS). 3 changed + 4 carries
-# + 43 debt = exactly 50: every name fits the driver window and
-# _DEBT_CARRY goes EMPTY — no query's last hard check will be older
-# than 2 rounds after the r14 run.
+# ROUND-15 ROTATION (VERDICT r14 next-round #1 + closing audit): the
+# r14 optimization commits rewrote the engine side of the whole
+# sim_ivf_* family — argmax assignment (c9bc859), one-shot corpus pass
+# (649e928), sidecar cache (97b8c57) — but none of the five registered
+# queries got a driver hash check in r14 (all were outside the
+# 50-sample; the broken closing-audit rule is VERDICT r14 "What's
+# wrong" #1). They lead this round's list so the rewrites receive
+# their first ground-truth driver check. Then the full rotation debt:
+# every query hard-checked in r13 but not r14 (CORRECTNESS_r13 minus
+# CORRECTNESS_r14, pinned by _PRIORITY_BASIS) — the five leads are
+# themselves debt members, so 5 changed + 42 remaining debt = 47 ≤ 50,
+# _DEBT_CARRY EMPTY, and 3 slots remain for queries this optimization
+# round changes (re-audited against `git diff` at round close per the
+# r8 process rule).
 _CHECK_PRIORITY = [
-    # -- engine/oracle changed in round 14 (see closing audit above)
-    "dedup_embedding_ann",  # corpus-scaled n_planes + gate fan pricing
-    "dedup_embedding_ann_h1",  # same, multi-probe lever
-    "route_assign",  # row_number funnel -> md5 hash slot
-    # -- r11 carries (VERDICT r13 #4: MUST lead the r14 debt block)
-    "set_union",
-    "sort_multi",
-    "topk",
-    "join_broadcast",
-    # -- rotation debt: last hard driver check round 12
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "case_map",
-    "cast_types",
-    "dedup_apply",
-    "dedup_components",
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_passages",
-    "dedup_simhash",
-    "filter_bitmask",
-    "filter_required",
-    "join_asof",
-    "llm_clean_corpus",
-    "merge_upsert",
-    "mm_binary_meta",
-    "mm_features",
-    "mm_frames",
-    "null_handling",
-    "pack_sequences",
-    "pack_sequences_bucketed",
-    "parse_json",
-    "parse_kv",
-    "project_rename",
-    "rate_charge",
-    "scalar_string_date",
-    "serialize_json",
-    "serialize_kv",
-    "sim_topk_quantized",
-    "text_chunk",
-    "text_editdist",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "tpch_q12_priority_by_tier",
-    "tpch_q14_promo_share",
-    "tpch_q22_idle_customers",
-    "window_analytic",
-    "window_ntile",
-    "window_range_frame",
-    "window_session",
-    "window_sliding",
-    "window_tumbling",
+    # -- engine changed in round 14, never driver-checked (VERDICT r14 #1)
+    "sim_ivf_topk",  # one-shot corpus pass + argmax assignment
+    "sim_ivf_nprobe",  # query-rows probe ranking + argmax
+    "sim_ivf_persisted",  # sidecar cache + argmax
+    "sim_ivf_persisted_nprobe",  # sidecar cache + argmax
+    "sim_ivf_trained",  # sidecar cache + argmax (kmeans_refine)
+    # -- r15 optimization targets (VERDICT r14 #6/#7); slotted at round
+    #    open so an engine change to them is driver-checked even if the
+    #    closing audit is interrupted. Re-audited at round close.
+    "window_ntile",  # distributed_ntile pass structure
+    "dedup_apply",  # connected_components round machinery
+    "dedup_components",  # same operator, registered directly
+    # -- rotation debt: last hard driver check round 13
+    "agg_conditional",
+    "agg_cube",
+    "agg_distinct",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_stats",
+    "agg_unpivot",
+    "decontaminate",
+    "dedup_embedding",
+    "dedup_minhash",
+    "dq_validate",
+    "join_anti",
+    "join_left",
+    "join_range",
+    "join_salted",
+    "join_semi",
+    "join_star",
+    "mix_weighted",
+    "mm_decode",
+    "mm_resize",
+    "profile_columns",
+    "sample_quota",
+    "sim_ann_lsh",
+    "sim_ann_multiprobe",
+    "sim_pairs",
+    "sim_topk",
+    "split_assign",
+    "subquery_exists",
+    "subquery_scalar",
+    "text_repetition",
+    "text_scrub",
+    "text_token_regex",
+    "text_tokens",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "ts_gapfill",
+    "window_rank",
 ]
 
 # The CORRECTNESS record pair (round numbers) the rotation-debt block
@@ -168,10 +165,11 @@ _CHECK_PRIORITY = [
 # the driver committing the next round's snapshot cannot invalidate a
 # priority list that was correct when written (ADVICE r12 #1). Bump
 # alongside every _CHECK_PRIORITY rewrite at round open.
-_PRIORITY_BASIS = (12, 13)
+_PRIORITY_BASIS = (13, 14)
 
-# r14: changed (3) + r11 carries (4) + basis debt (43) = exactly 50 —
-# nothing overflows the driver window, so no carry-over this round.
+# r15: changed (5, all debt members) + r15-touched (3, r14-checked) +
+# remaining basis debt (42) = exactly 50 — nothing overflows the
+# driver window, so no carry-over this round.
 _DEBT_CARRY: list[str] = []
 
 

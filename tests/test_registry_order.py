@@ -17,19 +17,19 @@ from etl_work_flow_for_big_data_spark.queries import (
     load_all,
 )
 
-# Round-14 changed set (manual — matches the closing audit in
-# queries/__init__.py): the two ANN-dedup queries now derive n_planes
-# from the corpus footer row count (engine AND oracle changed — the
-# _DUCK_NP params CTE mirrors the bit-length derivation) and carry the
-# fan-out-aware broadcast pricing (ADVICE r13); route_assign's
-# per-route row_number funnel became a deterministic md5-prefix hash
-# slot (VERDICT r13 #3 — engine AND oracle changed).
-# dedup_minhash/dedup_ngram were re-MEASURED this round (BENCH_AB)
-# but their code is untouched — measurement is not change.
+# Round-15 changed set (manual — matches the closing audit in
+# queries/__init__.py): the five sim_ivf_* queries whose engine was
+# rewritten by the r14 optimization commits (argmax assignment,
+# one-shot corpus pass, sidecar cache) but which never received a
+# driver hash check in r14 — VERDICT r14 "What's wrong" #1 orders them
+# to lead the r15 list. Queries whose engine changes DURING r15 are
+# appended here at the round-close audit.
 CHANGED_THIS_ROUND = [
-    "dedup_embedding_ann",
-    "dedup_embedding_ann_h1",
-    "route_assign",
+    "sim_ivf_topk",
+    "sim_ivf_nprobe",
+    "sim_ivf_persisted",
+    "sim_ivf_persisted_nprobe",
+    "sim_ivf_trained",
 ]
 
 DRIVER_WINDOW = 50
