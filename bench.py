@@ -10,6 +10,12 @@ Each query is timed as plan-build + full execution through Spark's
 ``noop`` sink — every row is produced and materialized by the engine
 but never converted to Python objects, so the measurement is
 scan/shuffle/agg/write throughput, not driver-side row conversion.
+Every timed run starts from an empty Spark cache (r15 measurement
+fix, VERDICT r14 #3/#5): previously a persist() inside a query let
+CacheManager amortize the med3 re-runs (and plan-identical sibling
+queries), so the med reported warm-cache cost. The r14 committed
+record predates this fix — persisting queries (sim_ivf_*, dedup_ngram
+family) read LOWER there than the cold-plan cost now measured.
 
 Queries whose first shot exceeds 0.8 s are re-run twice and reported
 as median-of-3 (also echoed under a top-level ``med3`` map):
@@ -56,15 +62,25 @@ def main() -> None:
     # every worker slot — measured 7-15 s on sim_pairs cold vs
     # 0.9-1.3 s warm, and under machine load the decay stretches
     # across several shots, so even a med3 can read 2-6 s (the r8
-    # "sim-family regression", settled as exactly this). An untimed
-    # identity mapInPandas over one partition per core forks the pool
-    # and imports the stack before any timed query.
-    def _ident(it):
-        yield from it
+    # "sim-family regression", settled as exactly this). r15 (VERDICT
+    # r14 #4): the identity mapInPandas warmed fork+pandas/pyarrow but
+    # NOT the worker-side numpy/BLAS import the similarity kernels pay
+    # (~5 s charged to whichever kernel query ran first — the driver's
+    # r14 run read sim_ivf_trained at 8.1 s vs its 1.6 s committed
+    # med). One untimed single-row pairwise_cosine batch per worker
+    # slot imports numpy, loads and pins OpenBLAS, and exercises the
+    # gemm prefilter path. Library warmup only — no query data, no
+    # result precomputation.
+    from etl_work_flow_for_big_data_spark.functions.kernels import (
+        pairwise_cosine,
+    )
 
     n_slots = spark.sparkContext.defaultParallelism
-    spark.range(n_slots, numPartitions=n_slots).mapInPandas(
-        _ident, "id long"
+    warm_src = spark.range(n_slots, numPartitions=n_slots).selectExpr(
+        "id", "array(cast(id as double)) as v"
+    )
+    pairwise_cosine(
+        warm_src, "id", "v", [(-1, [1.0])], mode="all", prefilter=-2.0
     ).write.mode("overwrite").format("noop").save()
 
     # Per-query isolation: one broken query must never zero out the
@@ -96,13 +112,28 @@ def main() -> None:
         # coincidence, not a noise-band match. Compare NUMERICALLY —
         # 'sf' is persisted as float, so str() would render sf1 as
         # '1.0' vs directory tag '1' and silently never match
-        # (r8-judge advice).
-        if float(_rec.get("sf")) == float(sf_tag):
+        # (r8-judge advice). r15: the CORE COUNT must match too — the
+        # driver's 8-core run overwrote BENCH_LOCAL.json in r14, so a
+        # 32-core run was noise-band-matching against 8-core timings.
+        # Records predating the 'cpus' field never match (honest full
+        # med3 once, then the field exists).
+        if (float(_rec.get("sf")) == float(sf_tag)
+                and _rec.get("cpus") == n_slots):
             prior = _rec.get("queries", {})
     except (OSError, ValueError, TypeError):
         prior = {}
 
     def _run_once(spec) -> float:
+        # Every timed run starts with an EMPTY Spark cache (r15, VERDICT
+        # r14 #3/#5): operators that persist() an intermediate leave it
+        # in CacheManager, and a plan-identical re-run — the med3
+        # repeats, or a sibling query building the same subtree —
+        # silently reuses it, so runs 2-3 measured warm-cache cost, not
+        # the cold-plan cost the record claims. clearCache() drops
+        # Spark-side cached relations only; the declared process-level
+        # index caches (IVF sidecars — build-once/serve-many contract)
+        # are driver-side Python state and intentionally unaffected.
+        spark.catalog.clearCache()
         # label the jobs (guide §1.5) so a Spark UI / event log attached
         # to a bench run attributes stages to queries; zero-cost when
         # the UI is off
@@ -159,6 +190,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": n_slots,
     }
     # Environment-drift model (r8-verdict stretch task): geomean of
     # now/prior over queries present in both records. Code changes
@@ -250,30 +282,48 @@ def main() -> None:
         except OSError as exc:  # read-only checkout must not fail the bench
             print(f"bench: could not write BENCH_LOCAL.json: {exc}",
                   file=sys.stderr)
-    # FINAL stdout line: a compact summary sized well under the round
-    # driver's ~2000-char capture tail (BENCH_r09/r10 both recorded
+    # FINAL stdout line: a compact summary sized under the round
+    # driver's 2000-char capture tail (BENCH_r09/r10 both recorded
     # `parsed: null` because the full per-query line truncates there —
-    # VERDICT r10 next-round #6). The full record remains the first
-    # line and BENCH_LOCAL.json; this line makes the driver's capture
-    # self-contained: total, count, sf, drift geomean, the five
-    # slowest queries, and error count.
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
+    # VERDICT r10 next-round #6; BENCH_r14's tail is exactly 2000
+    # chars). r15 (VERDICT r14 #2): the summary now carries PER-QUERY
+    # timings so the driver's PERF comparison and scaling block have
+    # data. All 97 names + values cannot fit (names alone are ~1700
+    # chars of JSON), so the dict is filled SLOWEST-FIRST — where the
+    # optimization signal lives — until the line reaches the budget;
+    # whatever is cut is declared (count + summed seconds, all near
+    # the ~0.3 s per-job floor). The full record remains the first
+    # line and BENCH_LOCAL.json.
     summary = {
         "metric": "headline_queries_total",
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
+        "cpus": n_slots,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "drift_geomean": out.get("drift", {}).get("geomean_vs_prior"),
         "common_total_vs_prior": out.get(
             "common_total_vs_prior", {}).get("ratio"),
-        "slowest5": slowest,
+        "queries": {},
+        "queries_omitted": {"n": 0, "total_sec": 0.0},
         "full_record": "BENCH_LOCAL.json",
     }
-    print(json.dumps(summary))
+    budget = 1950  # chars; the capture tail keeps the last 2000
+    by_cost = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
+    kept = 0
+    for name, sec in by_cost:
+        summary["queries"][name] = round(sec, 2)
+        if len(json.dumps(summary, separators=(",", ":"))) > budget:
+            del summary["queries"][name]
+            break
+        kept += 1
+    omitted = by_cost[kept:]
+    summary["queries_omitted"] = {
+        "n": len(omitted),
+        "total_sec": round(sum(sec for _, sec in omitted), 3),
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     # Non-zero exit only when the run is substantially broken (<90%
     # timed); a stray failure still yields a usable bench record.
     attempted = set(timings) | set(errors)
