@@ -306,7 +306,9 @@ def main() -> None:
         "common_total_vs_prior": out.get(
             "common_total_vs_prior", {}).get("ratio"),
         "queries": {},
-        "queries_omitted": {"n": 0, "total_sec": 0.0},
+        # worst-case-width placeholder: the real values are filled in
+        # after the loop and must not grow the line past the budget
+        "queries_omitted": {"n": 97, "total_sec": 9999.999},
         "full_record": "BENCH_LOCAL.json",
     }
     budget = 1950  # chars; the capture tail keeps the last 2000
