@@ -252,6 +252,40 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Input-layout-adaptive parallelism floor for expression- or
+    kernel-heavy stages (guide §2.5: one unsplittable input file →
+    repartition immediately after the read).
+
+    A small parquet table is one file with one row group, so it scans
+    as ONE task — and every per-row transform upstream of the first
+    exchange (the tokenize/shingle/md5 families, Arrow kernel batches)
+    serializes on one core / one Python worker regardless of session
+    parallelism (measured at sf0.1: minhash signature stage 2.0 s →
+    0.89 s, full-pairs cosine kernel 8-16 s → 2.5-4 s once fanned
+    out). Callers wrap the INPUT of their heavy stage, projected to
+    the columns that stage needs, so the one extra exchange moves the
+    minimum bytes (guide §2.3).
+
+    Scale-adaptive by construction: the exchange is inserted only when
+    the scan has fewer partitions than the session's default
+    parallelism. At real scale the input arrives in >= cores splits
+    and this is a NO-OP — no exchange node appears in the plan. The
+    explicit numPartitions also keeps AQE from coalescing the heavy
+    stage back onto one task (coalescing sizes partitions by INPUT
+    bytes and is blind to explode/kernel amplification downstream).
+
+    Results are row-identical: every consumer is set-semantic, and a
+    keyless repartition is retry-safe (local sort before round-robin,
+    SPARK-23207). The partition probe plans ``df`` once — cheap for
+    the scan-shaped frames this wraps.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table; keys match the DuckDB oracle views."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_work_flow_for_big_data_spark.catalog import fan_out
+
 #: schema of the metadata struct attached alongside every media column
 MEDIA_META_SCHEMA = "struct<mime:string,n_bytes:long,source:string>"
 
@@ -130,7 +132,12 @@ def decode_media(
     headers yield null format/dims — never a task failure. Full pixel
     decode (the PIL/ffmpeg slot) remains honestly gated in
     ``decode_pixels``."""
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    # fan_out (r15): a one-file binary table scans as ONE task, so the
+    # whole Arrow kernel ran in a single Python worker; no-op when the
+    # input already has >= cores splits (see catalog.fan_out)
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -215,7 +222,12 @@ def decode_pixels(
             img.load()
             return (img.width, img.height, img.mode, img.tobytes())
 
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    # fan_out (r15): a one-file binary table scans as ONE task, so the
+    # whole Arrow kernel ran in a single Python worker; no-op when the
+    # input already has >= cores splits (see catalog.fan_out)
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -258,7 +270,12 @@ def extract_features(df: DataFrame, id_col: str, content_col: str = "content") -
     hash-check this Python stage end-to-end."""
     import hashlib
 
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    # fan_out (r15): a one-file binary table scans as ONE task, so the
+    # whole Arrow kernel ran in a single Python worker; no-op when the
+    # input already has >= cores splits (see catalog.fan_out)
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    )
 
     def fake_featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -304,7 +321,12 @@ def resize_media(
     count). Exact values are SQL-recomputable over ASCII fixtures, so
     the Python stage is oracle-checkable like the feature/frame
     fakes."""
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    # fan_out (r15): a one-file binary table scans as ONE task, so the
+    # whole Arrow kernel ran in a single Python worker; no-op when the
+    # input already has >= cores splits (see catalog.fan_out)
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    )
 
     def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -333,7 +355,12 @@ def sample_frames(
     """Deterministic fake frame sampling (video-decode twin): slices
     the payload every ``stride`` bytes, one output row per 'frame' —
     exercises the 1-to-N mapInPandas shape real frame extraction uses."""
-    src = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    # fan_out (r15): a one-file binary table scans as ONE task, so the
+    # whole Arrow kernel ran in a single Python worker; no-op when the
+    # input already has >= cores splits (see catalog.fan_out)
+    src = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    )
 
     def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

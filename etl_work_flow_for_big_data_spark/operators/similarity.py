@@ -368,10 +368,18 @@ def ann_near_dup_pairs(
     (12 planes: 0.85 @ 5.2M). Measured recall matches the closed-form
     P[caught] above to ±0.02, so extrapolate with the formula.
     """
-    from etl_work_flow_for_big_data_spark.catalog import BROADCAST_MAX_BYTES
+    from etl_work_flow_for_big_data_spark.catalog import (
+        BROADCAST_MAX_BYTES,
+        fan_out,
+    )
 
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
+    # fan out the signature stage (r15): n_tables × n_planes × dim
+    # interpreted plane folds per row ran in the single scan task of a
+    # one-file corpus; projected to (id, vector) so the exchange moves
+    # only what the signature needs. No-op at >= cores input splits.
+    df = fan_out(df.select(id_col, vec_col))
     # persist: the signature projection feeds BOTH sides of the
     # self-join; without it Spark recomputes the 8×64 interpreted
     # plane fold per branch — measured 1.6× slower at sf0.1

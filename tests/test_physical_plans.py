@@ -625,6 +625,13 @@ def test_distributed_ntile_property_random_inputs(spark):
 # decisions can flip a dim join to SMJ and trip a ceiling — that is a
 # real plan change worth a deliberate re-baseline, not noise.
 
+# r15 re-baseline: queries whose heavy stage is wrapped in
+# catalog.fan_out (input-layout-adaptive repartition before the
+# tokenize/shingle/md5/kernel compute) gain exactly ONE round-robin
+# exchange at fixture scale, where every table is a single-split file
+# (sim_ivf_nprobe gains two — corpus assignment + query-rows kernel
+# passes). At >= cores input splits fan_out is a no-op and these
+# ceilings are loose by one.
 EXCHANGE_BUDGET = {
     "window_rank": 1,
     "agg_rollup": 1,
@@ -658,7 +665,7 @@ EXCHANGE_BUDGET = {
     "join_salted": 0,
     "mix_weighted": 0,
     "mm_binary_meta": 0,
-    "mm_decode": 0,
+    "mm_decode": 1,
     "pack_sequences": 1,
     "pack_sequences_bucketed": 1,
     "route_assign": 0,
@@ -669,9 +676,9 @@ EXCHANGE_BUDGET = {
     "text_token_regex": 0,
     "text_tokens": 1,
     "ts_gapfill": 2,
-    "mm_features": 0,
-    "mm_frames": 0,
-    "mm_resize": 0,
+    "mm_features": 1,
+    "mm_frames": 1,
+    "mm_resize": 1,
     "parse_kv": 0,
     "serialize_kv": 0,
     "filter_required": 0,
@@ -726,10 +733,10 @@ EXCHANGE_BUDGET = {
     # scale (gate clears), leaving the drop-set distinct + anti-join
     # exchanges; the big-regime sort-merge form is pinned by
     # test_dedup_embedding_ann_plan
-    "dedup_embedding_ann": 2,
+    "dedup_embedding_ann": 3,
     # same plan shape — the Hamming-1 probe fan is a per-row explode
     # on the already-broadcast/hinted left side, no extra shuffle
-    "dedup_embedding_ann_h1": 2,
+    "dedup_embedding_ann_h1": 3,
     "sim_ivf_topk": 3,
     # sim_ivf_topk's 3 plus the probe-set union/distinct exchange
     # (query-side only; the corpus-side index path is unchanged)
@@ -755,7 +762,7 @@ EXCHANGE_BUDGET = {
     # self-pairs so intersection counts AND per-doc sizes come from ONE
     # counted aggregate (persisted); the index pipeline that previously
     # re-derived per join alias (3x scan+shuffle) now runs once
-    "dedup_ngram": 2,
+    "dedup_ngram": 3,
     # re-baselined 7 → 1 in r13: the r12 unconditional merge pins are
     # now size-gated on the parquet-footer doc count (catalog
     # maybe_merge pattern), so at fixture scale the broadcast plan is
@@ -763,19 +770,19 @@ EXCHANGE_BUDGET = {
     # big/unknown-corpus sort-merge form (7 exchanges, the plan that
     # completes at 50k+ docs) is pinned separately by
     # test_dedup_minhash_big_regime_never_broadcasts_corpus
-    "dedup_minhash": 1,
+    "dedup_minhash": 2,
     "dedup_simhash": 0,
     "text_chunk": 0,
     # re-baselined 7 -> 4 in r14 (single-pass ngram pairs, see
     # dedup_ngram)
-    "dedup_apply": 4,
+    "dedup_apply": 5,
     # groupBy(passage hash) + per-doc reassembly agg; the occ join
     # broadcasts at fixture scale (ceiling leaves room for the SMJ
     # form when the occurrence side outgrows broadcast)
     "dedup_passages": 3,
     # re-baselined 11 -> 6 in r14 (single-pass ngram pairs, see
     # dedup_ngram)
-    "llm_clean_corpus": 6,
+    "llm_clean_corpus": 7,
     "text_editdist": 0,
     "window_tumbling": 1,
     "window_sliding": 1,
