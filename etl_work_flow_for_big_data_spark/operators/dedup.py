@@ -95,6 +95,12 @@ def passage_dedup(
     toks = tokens(F.col(text_col))
     w = window_tokens
     n_pass = F.ceil(F.size("__toks") / float(w)).cast("int")
+    # fan_out rejected here (r15, measured): the passage explode is
+    # ~8 rows/doc — an order of magnitude lighter than the shingle
+    # index — and the interleaved A/B read off med 1.68 s vs on med
+    # 2.20 s at sf0.1: the round-robin exchange of document text costs
+    # more than the parallelized tokenize+md5 saves, even with the
+    # pipeline planned twice.
     passages = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
         .filter(F.size("__toks") > 0)
@@ -689,7 +695,14 @@ def contamination_flags(
     At 100 TB: the corpus-side index streams; only benchmark shingles
     broadcast; no all-pairs anything.
     """
-    corpus_idx = shingle_index(df, text_col, id_col, k)
+    from etl_work_flow_for_big_data_spark.catalog import fan_out
+
+    # fan_out (r15): the corpus-side shingle explode ran in the single
+    # scan task of a one-file corpus; the benchmark side is
+    # eval-set-sized and stays as-is. No-op at >= cores input splits.
+    corpus_idx = shingle_index(
+        fan_out(df.select(id_col, text_col)), text_col, id_col, k
+    )
     bench_sh = (
         shingle_index(benchmark, text_col, id_col, k).select("sh").distinct()
     )

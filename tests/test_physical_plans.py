@@ -658,7 +658,7 @@ EXCHANGE_BUDGET = {
     "agg_grouping_sets": 1,
     "case_map": 0,
     "cast_types": 0,
-    "decontaminate": 2,
+    "decontaminate": 3,
     "dq_validate": 1,
     "filter_bitmask": 0,
     "join_broadcast": 1,
