@@ -86,33 +86,45 @@ def _tuned(fn):
 # fixtures every round. NEW/CHANGED queries must be added to the
 # front to receive a slot.
 #
-# ROUND-15 ROTATION (VERDICT r14 next-round #1 + closing audit): the
-# r14 optimization commits rewrote the engine side of the whole
-# sim_ivf_* family — argmax assignment (c9bc859), one-shot corpus pass
-# (649e928), sidecar cache (97b8c57) — but none of the five registered
-# queries got a driver hash check in r14 (all were outside the
-# 50-sample; the broken closing-audit rule is VERDICT r14 "What's
-# wrong" #1). They lead this round's list so the rewrites receive
-# their first ground-truth driver check. Then the full rotation debt:
-# every query hard-checked in r13 but not r14 (CORRECTNESS_r13 minus
-# CORRECTNESS_r14, pinned by _PRIORITY_BASIS) — the five leads are
-# themselves debt members, so 5 changed + 42 remaining debt = 47 ≤ 50,
-# _DEBT_CARRY EMPTY, and 3 slots remain for queries this optimization
-# round changes (re-audited against `git diff` at round close per the
-# r8 process rule).
+# ROUND-15 ROTATION, closing audit (VERDICT r14 next-round #1 + the
+# r8 process rule). Front block = every query whose ENGINE changed
+# since the r14 snapshot: (a) the five sim_ivf_* queries rewritten by
+# r14's argmax/one-shot/sidecar commits that never got a driver hash
+# check (VERDICT r14 "What's wrong" #1), and (b) the sixteen queries
+# whose operators gained the r15 input-layout-adaptive fan-out
+# (catalog.fan_out — ngram/minhash/ANN-dedup/decontaminate/multimodal
+# call sites, plus every pairwise_cosine consumer, whose kernel path
+# changed even where the |corpus|×dim gate no-ops at fixture scale).
+# Then the rotation debt (CORRECTNESS_r13 minus CORRECTNESS_r14,
+# pinned by _PRIORITY_BASIS) minus debt members already in the changed
+# block: 21 changed + 29 debt = 50 exactly; the six overflowed debt
+# names are declared in _DEBT_CARRY (all untouched for ≥2 rounds,
+# r13-hash-green, oracle-checked at sf0.001 every pytest run) and must
+# lead round 16's debt block.
 _CHECK_PRIORITY = [
-    # -- engine changed in round 14, never driver-checked (VERDICT r14 #1)
-    "sim_ivf_topk",  # one-shot corpus pass + argmax assignment
-    "sim_ivf_nprobe",  # query-rows probe ranking + argmax
-    "sim_ivf_persisted",  # sidecar cache + argmax
-    "sim_ivf_persisted_nprobe",  # sidecar cache + argmax
-    "sim_ivf_trained",  # sidecar cache + argmax (kmeans_refine)
-    # -- r15 optimization targets (VERDICT r14 #6/#7); slotted at round
-    #    open so an engine change to them is driver-checked even if the
-    #    closing audit is interrupted. Re-audited at round close.
-    "window_ntile",  # distributed_ntile pass structure
-    "dedup_apply",  # connected_components round machinery
-    "dedup_components",  # same operator, registered directly
+    # -- engine changed in r14, never driver-checked (VERDICT r14 #1)
+    "sim_ivf_topk",  # one-shot corpus pass + argmax + gated kernel fan-out
+    "sim_ivf_nprobe",
+    "sim_ivf_persisted",
+    "sim_ivf_persisted_nprobe",
+    "sim_ivf_trained",
+    # -- engine changed in r15 (fan-out call sites; OPTIMIZATION_r15.md)
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_apply",
+    "dedup_components",
+    "llm_clean_corpus",
+    "decontaminate",
+    "dedup_embedding_ann",
+    "dedup_embedding_ann_h1",
+    "mm_decode",
+    "mm_features",
+    "mm_frames",
+    "mm_resize",
+    "sim_pairs",
+    "sim_topk",
+    "sim_topk_quantized",
+    "dedup_embedding",
     # -- rotation debt: last hard driver check round 13
     "agg_conditional",
     "agg_cube",
@@ -123,9 +135,6 @@ _CHECK_PRIORITY = [
     "agg_rollup",
     "agg_stats",
     "agg_unpivot",
-    "decontaminate",
-    "dedup_embedding",
-    "dedup_minhash",
     "dq_validate",
     "join_anti",
     "join_left",
@@ -134,14 +143,10 @@ _CHECK_PRIORITY = [
     "join_semi",
     "join_star",
     "mix_weighted",
-    "mm_decode",
-    "mm_resize",
     "profile_columns",
     "sample_quota",
     "sim_ann_lsh",
     "sim_ann_multiprobe",
-    "sim_pairs",
-    "sim_topk",
     "split_assign",
     "subquery_exists",
     "subquery_scalar",
@@ -150,12 +155,6 @@ _CHECK_PRIORITY = [
     "text_token_regex",
     "text_tokens",
     "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "ts_gapfill",
-    "window_rank",
 ]
 
 # The CORRECTNESS record pair (round numbers) the rotation-debt block
@@ -167,10 +166,19 @@ _CHECK_PRIORITY = [
 # alongside every _CHECK_PRIORITY rewrite at round open.
 _PRIORITY_BASIS = (13, 14)
 
-# r15: changed (5, all debt members) + r15-touched (3, r14-checked) +
-# remaining basis debt (42) = exactly 50 — nothing overflows the
-# driver window, so no carry-over this round.
-_DEBT_CARRY: list[str] = []
+# r15 closing audit: 21 changed + 29 debt = exactly 50; these six
+# debt names overflow the driver window and MUST lead round 16's debt
+# block. All are untouched for >= 2 rounds, r13-hash-green, and
+# oracle-checked at sf0.001 by tests/test_oracle_parity.py every
+# pytest run.
+_DEBT_CARRY: list[str] = [
+    "tpch_q18_large_orders",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "ts_gapfill",
+    "window_rank",
+]
 
 
 def load_all() -> dict[str, QuerySpec]:

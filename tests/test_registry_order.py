@@ -19,17 +19,32 @@ from etl_work_flow_for_big_data_spark.queries import (
 
 # Round-15 changed set (manual — matches the closing audit in
 # queries/__init__.py): the five sim_ivf_* queries whose engine was
-# rewritten by the r14 optimization commits (argmax assignment,
-# one-shot corpus pass, sidecar cache) but which never received a
-# driver hash check in r14 — VERDICT r14 "What's wrong" #1 orders them
-# to lead the r15 list. Queries whose engine changes DURING r15 are
-# appended here at the round-close audit.
+# rewritten by the r14 optimization commits but never driver-checked
+# (VERDICT r14 "What's wrong" #1), plus the sixteen queries whose
+# operators gained the r15 input-layout-adaptive fan-out
+# (catalog.fan_out call sites + every pairwise_cosine consumer).
 CHANGED_THIS_ROUND = [
     "sim_ivf_topk",
     "sim_ivf_nprobe",
     "sim_ivf_persisted",
     "sim_ivf_persisted_nprobe",
     "sim_ivf_trained",
+    "dedup_minhash",
+    "dedup_ngram",
+    "dedup_apply",
+    "dedup_components",
+    "llm_clean_corpus",
+    "decontaminate",
+    "dedup_embedding_ann",
+    "dedup_embedding_ann_h1",
+    "mm_decode",
+    "mm_features",
+    "mm_frames",
+    "mm_resize",
+    "sim_pairs",
+    "sim_topk",
+    "sim_topk_quantized",
+    "dedup_embedding",
 ]
 
 DRIVER_WINDOW = 50
